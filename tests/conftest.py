@@ -1,0 +1,27 @@
+"""Test environment: 8 virtual CPU devices so pjit/psum/mesh tests run
+without TPU hardware (the JAX analog of a fake NCCL backend; SURVEY.md §4)."""
+
+import os
+
+# Force CPU: the driver env pins JAX_PLATFORMS=axon (TPU tunnel) and the
+# axon sitecustomize re-applies it via jax.config at registration, so both
+# the env var AND jax.config must be overridden before first backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    import jax
+
+    devices = jax.devices()
+    assert len(devices) >= 8, f"expected 8 virtual devices, got {len(devices)}"
+    return devices
