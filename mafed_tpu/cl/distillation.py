@@ -1,0 +1,101 @@
+"""Feature distillation / MAFED.
+
+Parity: mafed/methods/distillation.py + distillation_loss_weights.py —
+on every replay_interval-th batch: optional replay CE (x replay_coeff) plus
+per-layer hidden-state distillation of the student against the previous
+task's best model (the teacher), with gamma-discounted layer weights and
+equal / balanced / adaptive modality weights. The adaptive weights are
+gradient-based modality importances averaged over the task loader and
+running-averaged across tasks (dl_weights.py:62-69).
+
+TPU-first: teacher+student run in ONE fused jitted step sharing a single
+vision pass (training/step.make_distill_step); adaptive importances come
+from a jitted perturbation-gradient function instead of retain_graph
+autograd loops.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mafed_tpu.cl.base import CLStrategy
+from mafed_tpu.core.logging import LOGGER
+from mafed_tpu.data.vqa_dataset import ConcatDataset, Subset
+from mafed_tpu.training.step import distillation_layers
+
+
+class FeatureDistillation(CLStrategy):
+    name = "featdistill"
+    needs_replay = True
+
+    def __init__(self, config, model_cfg, **kwargs) -> None:
+        super().__init__(config, model_cfg)
+        self.memory_size = config.cl_memory
+        num_mem_tasks = max(1, len(config.tasks or []) - 1)
+        self.memory_per_task = int(self.memory_size / num_mem_tasks)
+        self.rng = np.random.default_rng(config.seed)
+        self.datasets: List = []
+        self._mem_iter = None
+        self.teacher_trainable = None
+
+        self.strategy = config.distillation_modality_weighing_strategy
+        num_hl = model_cfg.num_hidden_layers - 1  # train.py:133
+        self.layers = distillation_layers(
+            config.distillation_layer_weighing_strategy, num_hl, config.distillation_layer
+        )
+        if self.strategy == "balanced":
+            # fixed 0.5/0.5 (dl_weights.py:30-31,165-166)
+            self.lang_coeff = np.full((len(self.layers),), 0.5, np.float32)
+        else:
+            self.lang_coeff = np.ones((len(self.layers),), np.float32)  # placeholder
+
+    # -- steps ----------------------------------------------------------------
+    def replay_step(self, runner, state):
+        batch = next(self._mem_iter)
+        return runner.distill_step(
+            state, self.teacher_trainable, batch, jnp.asarray(self.lang_coeff)
+        )
+
+    # -- task transitions -------------------------------------------------------
+    def update(self, runner, state, dataset, loader) -> None:
+        """Teacher <- finished model; memory += subset; adaptive weights."""
+        # teacher = copy of the (just reloaded best) trainable params, frozen
+        self.teacher_trainable = jax.tree.map(lambda x: x, state.trainable)
+
+        indices = self.rng.choice(np.arange(len(dataset)), self.memory_per_task, replace=False)
+        assert len(set(indices.tolist())) == self.memory_per_task
+        self.datasets.append(Subset(dataset, indices.tolist()))
+        mem_dataset = ConcatDataset(self.datasets)
+        mem_loader = runner.make_train_loader(mem_dataset, infinite=True, seed=1)
+        self._mem_iter = iter(runner.device_batches(mem_loader))
+        LOGGER.info("featdistill memory: %d samples", len(mem_dataset))
+
+        if self.strategy == "adaptive":
+            importances = self._compute_adaptive_weights(runner, state, loader)
+            if self.task_id < 1:
+                self.lang_coeff = importances
+            else:
+                # running average across tasks (dl_weights.py:62-69)
+                self.lang_coeff = (importances + self.task_id * self.lang_coeff) / (self.task_id + 1)
+            LOGGER.info("adaptive lang coefficients: %s", np.round(self.lang_coeff, 4))
+        self.task_id += 1
+
+    def _compute_adaptive_weights(self, runner, state, loader) -> np.ndarray:
+        """Dataset-level modality importances (dl_weights.py:91-146)."""
+        lang_sums = np.zeros((len(self.layers),), np.float64)
+        image_sums = np.zeros((len(self.layers),), np.float64)
+        n_lang = 0.0
+        n_image = 0.0
+        for batch in runner.device_batches(loader):
+            ls, ims, nl, ni = runner.adaptive_weights_step(state.trainable, state.frozen, batch)
+            lang_sums += np.asarray(ls, np.float64)
+            image_sums += np.asarray(ims, np.float64)
+            n_lang += float(nl)
+            n_image += float(ni)
+        lang_imp = lang_sums / max(n_lang, 1e-9)
+        image_imp = image_sums / max(n_image, 1e-9)
+        return (lang_imp / (lang_imp + image_imp)).astype(np.float32)

@@ -37,7 +37,8 @@ class VisionConfig:
     qkv_fused: bool = False
     swiglu_mlp: bool = True
     scale_mlp: bool = True  # LayerNorm inside the MLP (EVA-02 "sub-LN")
-    rope_temperature: float = 100.0
+    scale_attn_inner: bool = True  # LayerNorm on attn output pre-projection
+    rope_temperature: float = 10000.0  # timm RotaryEmbeddingCat default
     layer_norm_eps: float = 1e-6
     # image preprocessing (CLIP stats; mafed/train.py:95-104)
     crop_pct: float = 0.9

@@ -1,0 +1,58 @@
+"""Batch collation with static shapes for jit.
+
+The reference left-pads to the longest sequence in the batch
+(vl_pythia_vqa_dataset.py:128-158, _pad_sequence utils/vl_pythia.py:155-171),
+which is fine under eager torch but would retrigger XLA compilation per
+length. Here every batch is left-padded to ONE fixed text length so the
+train step compiles exactly once. Padding ids are 0 with attention 0 and
+labels -100 — identical loss/attention semantics to the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mafed_tpu.constants import IGNORE_INDEX
+
+
+def _left_pad(rows: Sequence[np.ndarray], length: int, pad_value: int) -> np.ndarray:
+    out = np.full((len(rows), length), pad_value, dtype=np.int32)
+    for i, row in enumerate(rows):
+        row = row[-length:] if len(row) > length else row
+        if len(row):
+            out[i, length - len(row):] = row
+    return out
+
+
+def collate_train(items: List[Dict], text_len: int) -> Dict[str, np.ndarray]:
+    input_ids = _left_pad([it["input_ids"] for it in items], text_len, 0)
+    labels = _left_pad([it["labels"] for it in items], text_len, IGNORE_INDEX)
+    attention_mask = np.zeros_like(input_ids)
+    for i, it in enumerate(items):
+        n = min(len(it["input_ids"]), text_len)
+        attention_mask[i, text_len - n:] = 1
+    pixels = np.stack([it["pixels"] for it in items])
+    return {
+        "input_ids": input_ids,
+        "attention_mask": attention_mask,
+        "labels": labels,
+        "pixels": pixels,
+    }
+
+
+def collate_val(items: List[Dict], text_len: int) -> Dict:
+    input_ids = _left_pad([it["input_ids"] for it in items], text_len, 0)
+    attention_mask = np.zeros_like(input_ids)
+    for i, it in enumerate(items):
+        n = min(len(it["input_ids"]), text_len)
+        attention_mask[i, text_len - n:] = 1
+    pixels = np.stack([it["pixels"] for it in items])
+    return {
+        "input_ids": input_ids,
+        "attention_mask": attention_mask,
+        "pixels": pixels,
+        "answers": [it["answers"] for it in items],
+        "qids": [it["question_id"] for it in items],
+    }

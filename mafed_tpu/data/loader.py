@@ -1,0 +1,107 @@
+"""Threaded batch loader: the host-side data engine.
+
+Replaces torch DataLoader workers + the CUDA-stream PrefetchLoader
+(mafed/data/loader.py:40-80). Image decode (PIL, releases the GIL in its C
+core) runs on a thread pool; batches are assembled ahead of the consumer in
+a bounded queue. Device transfer overlap lives in prefetch.DevicePrefetcher.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterable over collated numpy batches with background workers.
+
+    shuffle uses a seeded numpy Generator so epoch order is reproducible
+    (reference uses pl.seed_everything + RandomSampler).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate: Callable[[List[Dict]], Dict],
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 4,
+        drop_last: bool = False,
+        prefetch_batches: int = 4,
+        infinite: bool = False,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch_batches = prefetch_batches
+        self.infinite = infinite
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _index_batches(self, epoch: int) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(order)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                continue
+            batches.append(idx)
+        return batches
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def produce():
+            epoch = self._epoch
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    while not stop.is_set():
+                        for idx in self._index_batches(epoch):
+                            if stop.is_set():
+                                return
+                            items = list(pool.map(self.dataset.__getitem__, idx))
+                            out_q.put(self.collate(items))
+                        epoch += 1
+                        if not self.infinite:
+                            break
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while True:
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

@@ -1,0 +1,80 @@
+"""Tokenizer construction with an offline fallback.
+
+Parity: the reference builds the Pythia (GPT-NeoX BPE) tokenizer with
+pad = eos = <|endoftext|>, left padding, model_max_length=100
+(mafed/pretrain_vlpythia.py:104-116; mafed/train.py:84-93). When the HF hub
+and cache are unreachable (zero-egress TPU pods), a deterministic byte-level
+tokenizer with the same interface keeps the full pipeline runnable; its ids
+live in [0, 257) inside the same 50304 vocab.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from mafed_tpu.core.logging import LOGGER
+
+
+@dataclass
+class Encoding:
+    input_ids: List[int]
+
+
+class ByteTokenizer:
+    """Offline byte-level tokenizer, HF-compatible surface for this codebase.
+
+    id 0 = eos (<|endoftext|> in Pythia), bytes map to 1..256.
+    """
+
+    eos_token = "<|endoftext|>"
+    eos_token_id = 0
+    pad_token_id = 0
+    is_byte_fallback = True
+
+    def __init__(self, model_max_length: int = 100, padding_side: str = "left") -> None:
+        self.model_max_length = model_max_length
+        self.padding_side = padding_side
+        self.vocab_size = 50304
+
+    def __call__(self, text: str, truncation: bool = False, max_length: Optional[int] = None) -> Encoding:
+        ids = [b + 1 for b in text.encode("utf-8")]
+        limit = max_length or (self.model_max_length if truncation else None)
+        if truncation and limit:
+            ids = ids[:limit]
+        return Encoding(input_ids=ids)
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        data = bytes(i - 1 for i in ids if 0 < int(i) <= 256)
+        return data.decode("utf-8", errors="ignore")
+
+    def batch_decode(self, batch, skip_special_tokens: bool = True) -> List[str]:
+        return [self.decode(ids, skip_special_tokens) for ids in batch]
+
+
+def build_tokenizer(
+    tokenizer_name: str = "EleutherAI/pythia-410m",
+    model_max_length: int = 100,
+    padding_side: str = "left",
+    truncation_side: str = "right",
+):
+    """Pythia tokenizer with pad=eos and left padding; byte fallback offline."""
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(
+            tokenizer_name,
+            model_max_length=model_max_length,
+            padding_side=padding_side,
+            truncation_side=truncation_side,
+            local_files_only=False,
+        )
+        if tok.pad_token is None:
+            tok.pad_token = tok.eos_token
+        return tok
+    except Exception as exc:
+        LOGGER.warning(
+            "HF tokenizer '%s' unavailable (%s); using offline byte-level fallback",
+            tokenizer_name, type(exc).__name__,
+        )
+        return ByteTokenizer(model_max_length=model_max_length, padding_side=padding_side)

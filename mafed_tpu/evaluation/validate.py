@@ -1,0 +1,72 @@
+"""Generative VQA validation loop.
+
+Parity: mafed/utils/eval_utils.py:161-195 (validate_pythia_vqa) — greedy
+generation of up to 10 tokens, decoded continuations scored with the VQA-v2
+soft metric; emits valid/acc, valid/ex_per_s, valid/n_ex. The decode itself
+is the cached jitted decoder (evaluation/decode.py). Short final batches are
+padded to the compiled batch size and the padding rows discarded.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from mafed_tpu.core.logging import LOGGER
+from mafed_tpu.evaluation.vqa_metrics import VQAGenerativeAccuracy, normalize_answer, vqa_v2_score
+
+
+def _pad_batch(batch: Dict, batch_size: int) -> Tuple[Dict, int]:
+    n = batch["input_ids"].shape[0]
+    if n == batch_size:
+        return batch, n
+    out = dict(batch)
+    for k in ("input_ids", "attention_mask", "pixels"):
+        v = batch[k]
+        reps = np.concatenate([v, np.repeat(v[-1:], batch_size - n, axis=0)], axis=0)
+        out[k] = reps
+    return out, n
+
+
+def validate_vqa(
+    params,
+    decoder: Callable,
+    val_loader,
+    tokenizer,
+    batch_size: int,
+    max_batches: Optional[int] = None,
+) -> Tuple[Dict, Dict]:
+    n_ex = 0
+    start = time.time()
+    results: Dict = {}
+    metric = VQAGenerativeAccuracy()
+
+    for i, batch in enumerate(val_loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        padded, n_valid = _pad_batch(batch, batch_size)
+        dec_batch = {k: padded[k] for k in ("input_ids", "attention_mask", "pixels")}
+        toks = np.asarray(decoder(params, dec_batch))[:n_valid]
+        predictions = tokenizer.batch_decode(toks, skip_special_tokens=True)
+        answers = batch["answers"][:n_valid]
+        metric(predictions, answers)
+        for qid, pred, gts in zip(batch["qids"][:n_valid], predictions, answers):
+            pred_norm = normalize_answer(pred)
+            from collections import Counter
+
+            results[qid] = {
+                "answer": pred_norm,
+                "acc": vqa_v2_score(Counter(gts).get(pred_norm, 0)),
+            }
+        n_ex += n_valid
+
+    tot_time = max(time.time() - start, 1e-9)
+    val_acc = metric.compute()
+    LOGGER.info("Tested %d samples", n_ex)
+    LOGGER.info("validation finished in %d seconds, score: %.2f", int(tot_time), val_acc * 100)
+    return (
+        {"valid/acc": val_acc, "valid/ex_per_s": n_ex / tot_time, "valid/n_ex": n_ex},
+        results,
+    )

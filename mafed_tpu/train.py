@@ -1,0 +1,26 @@
+"""CLI entry point: continual-learning VQA finetuning on TPU.
+
+Usage mirrors the reference (mafed/train.py:304-478):
+
+    python -m mafed_tpu.train --config config/train-vqa-cl.json \
+        --output_dir out --cl_method featdistill \
+        --tasks action count subcategory scene color ...
+
+JSON config fills any flag not explicitly given on the CLI.
+"""
+
+from __future__ import annotations
+
+from mafed_tpu.core.config import build_arg_parser, parse_with_config
+from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+
+def main(argv=None):
+    parser = build_arg_parser()
+    config = parse_with_config(parser, argv)
+    trainer = ContinualLearningTrainer(config)
+    return trainer.main()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,218 @@
+"""Continual-learning orchestrator: the outer task loop.
+
+Parity with mafed/train.py:33-301 (ContinualLearningTrainer):
+  per task — build data, (re)load best previous checkpoint, train with the
+  CL strategy, reload the task's best checkpoint, update the strategy
+  (memory / Fisher / teacher / adaptive weights), then evaluate ALL tasks
+  to fill column task_id of the accuracy matrix; finally avg accuracy and
+  BWT = mean(A[i, t] - A[i, i]) over seen tasks (train.py:61-67).
+  Mid-sequence resume via start_task_idx + checkpoint_dir (train.py:106-114,
+  180-193).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from mafed_tpu.cl import CLMethod
+from mafed_tpu.core.config import ModelConfig, TrainConfig
+from mafed_tpu.core.logging import LOGGER, MetricsLogger, add_log_to_file
+from mafed_tpu.core.mesh import make_mesh
+from mafed_tpu.core.prng import seed_everything
+from mafed_tpu.data.factory import get_val_loaders, prepare_train_dataset
+from mafed_tpu.data.tokenizer import build_tokenizer
+from mafed_tpu.evaluation.validate import validate_vqa
+from mafed_tpu.models import vl_pythia
+from mafed_tpu.models.weights import load_pretrained
+from mafed_tpu.trainer.runner import TaskRunner
+from mafed_tpu.training.train_state import merge_params, split_params
+from mafed_tpu.utils.checkpoint import (
+    get_initialization_checkpoint,
+    load_task_checkpoint,
+    save_task_checkpoint,
+    task_checkpoint_path,
+)
+from mafed_tpu.utils.cl_utils import random_task_order
+from mafed_tpu.utils.save import save_configs
+
+
+class ContinualLearningTrainer:
+    def __init__(
+        self,
+        config: TrainConfig,
+        model_cfg: Optional[ModelConfig] = None,
+        synthetic_images: bool = False,
+        init_params: Optional[Dict[str, Any]] = None,
+        use_mesh: bool = True,
+    ) -> None:
+        self.config = config
+        seed_everything(config.seed)
+        self._initialize_tasks()
+        save_configs(config)
+        add_log_to_file(os.path.join(config.output_dir, "log", "log.txt"))
+        self.metrics = MetricsLogger(
+            project=config.run_project,
+            entity=config.run_entity,
+            group=config.run_group,
+            name=config.run_name,
+            output_dir=os.path.join(config.output_dir, "log"),
+        )
+        self.synthetic_images = synthetic_images
+        self._init_params = init_params
+
+        if model_cfg is None:
+            if config.model_config and os.path.exists(config.model_config):
+                model_cfg = ModelConfig.from_json(config.model_config)
+            elif os.path.isdir(config.model_name) and os.path.exists(
+                os.path.join(config.model_name, "config.json")
+            ):
+                model_cfg = ModelConfig.from_json(os.path.join(config.model_name, "config.json"))
+            else:
+                model_cfg = ModelConfig()
+        self.model_cfg = model_cfg
+
+        self.tokenizer = build_tokenizer(
+            config.tokenizer_name, model_max_length=100, padding_side="left"
+        )
+        mesh = make_mesh(config.mesh_shape, config.mesh_axis_names) if use_mesh else None
+        self.runner = TaskRunner(
+            self.model_cfg, config, self.tokenizer, mesh=mesh, metrics=self.metrics
+        )
+
+    # ------------------------------------------------------------------
+    def _initialize_tasks(self) -> None:
+        cfg = self.config
+        if not cfg.tasks:
+            split_file = os.path.join(cfg.question_task_ids, cfg.exp, "train_question_ids.json")
+            cfg.tasks = random_task_order(cfg.exp, split_file, seed=cfg.seed)
+        if cfg.start_task_idx < 0 or cfg.start_task_idx >= len(cfg.tasks):
+            raise AssertionError(f"Invalid start_task_idx: {cfg.start_task_idx}")
+        LOGGER.info("Task order: %s", cfg.tasks)
+        if cfg.checkpoint and cfg.checkpoint_dir:
+            raise ValueError("set either checkpoint or checkpoint_dir, not both")
+
+    def _initial_params(self) -> Dict[str, Any]:
+        if self._init_params is not None:
+            return self._init_params
+        init_ckpt = get_initialization_checkpoint(self.config)
+        if init_ckpt and os.path.exists(init_ckpt):
+            return load_task_checkpoint(init_ckpt, self.model_cfg)
+        if os.path.isdir(self.config.model_name):
+            params, _ = load_pretrained(self.config.model_name, self.model_cfg)
+            return params
+        LOGGER.warning("no pretrained weights found; random init (%s)", self.config.model_name)
+        return vl_pythia.init_params(self.model_cfg, jax.random.PRNGKey(self.config.seed))
+
+    def _prev_best_path(self, task_id: int, task: str) -> str:
+        if task_id == 0 and self.config.start_task_idx > 0 and self.config.checkpoint_dir:
+            return os.path.join(
+                self.config.checkpoint_dir, f"{task}_best{self.config.checkpoint_extension}"
+            )
+        return task_checkpoint_path(self.config.output_dir, task, self.config.checkpoint_extension)
+
+    def _epochs_for(self, task_id: int) -> int:
+        return self.config.epochs[0] if task_id == 0 else self.config.epochs[1]
+
+    # ------------------------------------------------------------------
+    def validate_all_tasks(self, params, task_id: int, accuracy: np.ndarray) -> np.ndarray:
+        for val_task_id, val_task in enumerate(self.config.tasks):
+            LOGGER.info(val_task)
+            val_log, _ = validate_vqa(
+                params,
+                self.runner.decoder,
+                self.val_loaders[val_task],
+                self.tokenizer,
+                self.config.val_batch_size,
+                max_batches=self.config.val_max_batches,
+            )
+            accuracy[val_task_id, task_id] = val_log["valid/acc"]
+
+        metrics = {"validation/average_accuracy": float(np.mean(accuracy[:, task_id]))}
+        LOGGER.info("Average score: %.2f", metrics["validation/average_accuracy"] * 100)
+        if task_id > 0:
+            bwt = float(
+                np.mean(np.diag(accuracy[:task_id, task_id] - accuracy[:task_id, :task_id]))
+            )
+            metrics["validation/BWT"] = bwt
+            LOGGER.info("Average forgetting: %.2f", bwt * 100)
+        self.metrics.log_metrics(metrics, step=task_id, is_valid_step=True)
+        return accuracy
+
+    # ------------------------------------------------------------------
+    def main(self) -> Dict[str, Any]:
+        cfg = self.config
+        self.val_loaders = get_val_loaders(
+            cfg, self.tokenizer, self.model_cfg.vision, self.runner.val_text_len,
+            synthetic_images=self.synthetic_images,
+        )
+        strategy = CLMethod[cfg.cl_method](cfg, self.model_cfg)
+        n_tasks = len(cfg.tasks)
+        accuracy = np.zeros((n_tasks, n_tasks))
+
+        params = self._initial_params()
+
+        for task_id, task in enumerate(cfg.tasks):
+            LOGGER.info("Task %d: %s", task_id, task)
+            train_dataset = prepare_train_dataset(
+                cfg, task, self.tokenizer, self.model_cfg.vision,
+                synthetic_images=self.synthetic_images,
+            )
+            best_path = self._prev_best_path(task_id, task)
+
+            if task_id >= cfg.start_task_idx:
+                trainable, _ = split_params(params)
+                self.runner.setup_task_optimizer(len(train_dataset), trainable)
+                state = self.runner.init_state(params)
+                strategy.update_after_new_task(self.runner, state, train_dataset)
+                state, best_trainable, fit_log = self.runner.fit(
+                    state,
+                    strategy,
+                    train_dataset,
+                    self.val_loaders[task],
+                    task_id,
+                    self._epochs_for(task_id),
+                )
+                self.metrics.set_global_step_offset(
+                    self.metrics.global_step_offset + fit_log["global_step"]
+                )
+                best_params = merge_params(best_trainable, state.frozen)
+                save_task_checkpoint(best_params, self.model_cfg, best_path)
+                params = best_params
+                del state
+            elif os.path.exists(best_path):
+                params = load_task_checkpoint(best_path, self.model_cfg)
+
+            # strategy transition uses the best (reloaded) model
+            if task_id < n_tasks - 1:
+                trainable, frozen = split_params(params)
+                from mafed_tpu.training.train_state import TrainState
+
+                eval_state = TrainState(0, trainable, frozen, None)
+                update_loader = self.runner.make_train_loader(
+                    train_dataset, shuffle=False, infinite=False
+                )
+                strategy.update(self.runner, eval_state, train_dataset, update_loader)
+
+            accuracy = self.validate_all_tasks(params, task_id, accuracy)
+
+        result = {
+            "accuracy_matrix": accuracy.tolist(),
+            "average_accuracy": float(np.mean(accuracy[:, n_tasks - 1])),
+            "bwt": float(
+                np.mean(np.diag(accuracy[: n_tasks - 1, n_tasks - 1] - accuracy[: n_tasks - 1, : n_tasks - 1]))
+            )
+            if n_tasks > 1
+            else 0.0,
+        }
+        out_path = os.path.join(cfg.output_dir, "log", "results.json")
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+        LOGGER.info("final average accuracy: %.4f", result["average_accuracy"])
+        self.metrics.finish()
+        return result

@@ -1,0 +1,232 @@
+"""TaskRunner: compiled-step registry + per-task fit loop.
+
+This replaces the per-task pytorch_lightning.Trainer of the reference
+(mafed/train.py:284-301): epochs, gradient accumulation (optax.MultiSteps at
+microbatch granularity, preserving the reference's replay cadence inside
+accumulation windows), grad clipping (inside the optax chain), per-epoch
+generative validation driving EarlyStopping(patience, min_delta=5e-5) and
+top-1 best-checkpoint saving (train.py:243-263).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mafed_tpu.constants import PATIENCE_THRESHOLD
+from mafed_tpu.core.config import ModelConfig, TrainConfig
+from mafed_tpu.core.logging import LOGGER, MetricsLogger
+from mafed_tpu.core.mesh import batch_sharding, make_mesh
+from mafed_tpu.data.collate import collate_train
+from mafed_tpu.data.loader import BatchLoader
+from mafed_tpu.data.prefetch import DevicePrefetcher
+from mafed_tpu.evaluation.decode import make_greedy_decoder
+from mafed_tpu.evaluation.validate import validate_vqa
+from mafed_tpu.optim.optimizer import build_optimizer
+from mafed_tpu.optim.sched import linear_warmup_schedule
+from mafed_tpu.training.step import (
+    make_adaptive_weights_fn,
+    make_distill_step,
+    make_ewc_fisher_fn,
+    make_train_step,
+)
+from mafed_tpu.training.train_state import TrainState, split_params
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class TaskRunner:
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        config: TrainConfig,
+        tokenizer,
+        mesh=None,
+        metrics: Optional[MetricsLogger] = None,
+        attn_impl: str = "auto",
+    ) -> None:
+        self.model_cfg = model_cfg
+        self.config = config
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.metrics = metrics
+        self.attn_impl = attn_impl
+        pad_m = max(1, config.text_pad_multiple)
+        # question + answer + eos; static for the whole run
+        self.train_text_len = _round_up(config.max_txt_len + 20, pad_m)
+        self.val_text_len = _round_up(config.max_txt_len + 4, pad_m)
+        self._batch_sharding = batch_sharding(mesh) if mesh is not None else None
+
+        self.decoder = make_greedy_decoder(
+            model_cfg,
+            eos_token_id=getattr(tokenizer, "eos_token_id", 0),
+            attn_impl=attn_impl,
+        )
+        self.fisher_step = make_ewc_fisher_fn(model_cfg, config, attn_impl=attn_impl)
+        self._adaptive_fn = None
+        # per-task compiled steps (schedule changes per task)
+        self.ce_step: Optional[Callable] = None
+        self._ewc_step: Optional[Callable] = None
+        self._distill_step: Optional[Callable] = None
+        self.tx = None
+
+    # -- loaders -------------------------------------------------------------
+    def make_train_loader(self, dataset, shuffle: bool = True, seed: Optional[int] = None, infinite: bool = False) -> BatchLoader:
+        return BatchLoader(
+            dataset,
+            batch_size=self.config.batch_size,
+            collate=partial(collate_train, text_len=self.train_text_len),
+            shuffle=shuffle or infinite,
+            seed=self.config.seed if seed is None else seed,
+            num_workers=self.config.n_workers,
+            drop_last=True,
+            infinite=infinite,
+        )
+
+    def device_batches(self, loader):
+        return DevicePrefetcher(loader, sharding=self._batch_sharding)
+
+    # -- optimizer / state -----------------------------------------------------
+    def setup_task_optimizer(self, dataset_size: int, trainable_template: Dict[str, Any]) -> None:
+        """(Re)build the optax chain + compiled steps for a task.
+
+        Reproduces the reference's warmup quirk faithfully: the schedule's
+        horizon is ceil(batches/accum) * 60 — a constant "60 epochs" —
+        regardless of the real max_epochs (vqa_cont_learner.py:62-63), with
+        warmup_perc of that.
+        """
+        batches_per_epoch = dataset_size // self.config.batch_size
+        accum = max(1, self.config.accumulate_grad_batches)
+        total_steps = math.ceil(batches_per_epoch / accum) * 60
+        warmup_steps = int(self.config.warmup_perc * total_steps)
+        schedule = linear_warmup_schedule(self.config.learning_rate, warmup_steps, total_steps)
+        LOGGER.info("schedule: total=%d warmup=%d", total_steps, warmup_steps)
+
+        tx = build_optimizer(self.config, trainable_template, schedule)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        self.tx = tx
+        self.ce_step = make_train_step(self.model_cfg, self.config, tx, attn_impl=self.attn_impl)
+        self._ewc_step = None
+        self._distill_step = None
+
+    def ewc_step(self, state, batch, ewc_state):
+        if self._ewc_step is None:
+            self._ewc_step = make_train_step(
+                self.model_cfg, self.config, self.tx, with_ewc=True, attn_impl=self.attn_impl
+            )
+        return self._ewc_step(state, batch, ewc_state)
+
+    def distill_step(self, state, teacher_trainable, batch, lang_coeffs):
+        if self._distill_step is None:
+            self._distill_step = make_distill_step(
+                self.model_cfg, self.config, self.tx, attn_impl=self.attn_impl
+            )
+        return self._distill_step(state, teacher_trainable, batch, lang_coeffs)
+
+    def adaptive_weights_step(self, trainable, frozen, batch):
+        if self._adaptive_fn is None:
+            from mafed_tpu.training.step import distillation_layers
+
+            num_hl = self.model_cfg.num_hidden_layers - 1
+            layers = distillation_layers(
+                self.config.distillation_layer_weighing_strategy,
+                num_hl,
+                self.config.distillation_layer,
+            )
+            self._adaptive_fn = make_adaptive_weights_fn(
+                self.model_cfg, self.config, layers, attn_impl=self.attn_impl
+            )
+        return self._adaptive_fn(trainable, frozen, batch)
+
+    def init_state(self, params: Dict[str, Any]) -> TrainState:
+        trainable, frozen = split_params(params)
+        if self.tx is None:
+            raise RuntimeError("call setup_task_optimizer first")
+        opt_state = self.tx.init(trainable)
+        frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
+        return TrainState(jnp.zeros((), jnp.int32), trainable, frozen, opt_state)
+
+    # -- fit -------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        strategy,
+        train_dataset,
+        val_loader,
+        task_id: int,
+        epochs: int,
+    ) -> Tuple[TrainState, Dict[str, Any], Dict]:
+        """Train one task with early stopping; returns (state, best_params, log)."""
+        loader = self.make_train_loader(train_dataset, shuffle=True, seed=self.config.seed + task_id)
+        best_acc = -float("inf")
+        best_trainable = None
+        wait = 0
+        global_step = 0
+        history = []
+
+        for epoch in range(epochs):
+            epoch_start = time.time()
+            n_seen = 0
+            loader.set_epoch(epoch)
+            for batch_idx, batch in enumerate(self.device_batches(loader)):
+                if strategy.is_replay_batch(batch_idx):
+                    state, m = strategy.replay_step(self, state)
+                else:
+                    state, m = strategy.train_step(self, state, batch)
+                n_seen += self.config.batch_size
+                global_step += 1
+                if self.metrics is not None and global_step % self.config.log_every == 0:
+                    self.metrics.log_metrics(
+                        {
+                            f"task_{task_id}/train_loss": float(m["loss"]),
+                            f"task_{task_id}/grad_norm": float(m["grad_norm"]),
+                        },
+                        step=global_step,
+                    )
+            ex_per_s = n_seen / max(time.time() - epoch_start, 1e-9)
+
+            val_log, _ = validate_vqa(
+                {**state.trainable, **state.frozen},
+                self.decoder,
+                val_loader,
+                self.tokenizer,
+                self.config.val_batch_size,
+                max_batches=self.config.val_max_batches,
+            )
+            acc = float(val_log["valid/acc"])
+            history.append({"epoch": epoch, "acc": acc, "train_ex_per_s": ex_per_s})
+            LOGGER.info(
+                "task %d epoch %d: acc=%.4f train_ex/s=%.1f", task_id, epoch, acc, ex_per_s
+            )
+            if self.metrics is not None:
+                self.metrics.log_metrics(
+                    {f"task_{task_id}/valid_acc": acc, f"task_{task_id}/train_ex_per_s": ex_per_s},
+                    step=global_step,
+                )
+
+            # EarlyStopping + ModelCheckpoint(top-1) semantics
+            if acc > best_acc + PATIENCE_THRESHOLD:
+                wait = 0
+            elif math.isfinite(best_acc):
+                wait += 1
+            if acc > best_acc:
+                best_acc = acc
+                best_trainable = jax.tree.map(lambda x: np.asarray(x), state.trainable)
+            if wait >= self.config.patience:
+                LOGGER.info("early stopping at epoch %d (patience %d)", epoch, self.config.patience)
+                break
+
+        if best_trainable is None:
+            best_trainable = jax.tree.map(lambda x: np.asarray(x), state.trainable)
+        fit_log = {"best_acc": best_acc, "epochs_run": len(history), "history": history, "global_step": global_step}
+        return state, best_trainable, fit_log

@@ -1,0 +1,372 @@
+"""Jit-compiled training steps — one fused region per CL method.
+
+TPU-first redesign of the reference's eager train loop
+(vqa_cont_learner.py:213-236 + methods/*.py):
+
+  * ONE compiled step per method; image normalization (uint8 -> CLIP
+    stats), vision encoder, projector, decoder, loss, backward, clip,
+    optimizer update all fuse into a single XLA program with donated state.
+  * gradient accumulation is a lax.scan over microbatches inside the step
+    (reference: PL accumulate_grad_batches=4), averaging gradients.
+  * EWC quadratic penalty (methods/ewc.py:105-127) is a term inside the
+    differentiated loss — not a Python-side hook.
+  * feature distillation (methods/distillation.py:84-166) runs teacher and
+    student in the SAME compiled step: the teacher is a frozen param pytree
+    (no grads, bf16), its forward shares the vision features with the
+    student — the reference pays two full vision passes per replay batch,
+    this pays one.
+  * adaptive modality weights (distillation_loss_weights.py:91-146) use the
+    zero-perturbation trick: grad of the loss w.r.t. a zero tensor added to
+    each layer's residual stream equals d(loss)/d(hidden_states[layer]).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mafed_tpu.constants import NUM_VISION_TOKENS
+from mafed_tpu.core.config import ModelConfig, TrainConfig
+from mafed_tpu.data.images import make_normalizer
+from mafed_tpu.models import vl_pythia
+from mafed_tpu.training.train_state import TrainState, merge_params
+
+
+def _prep_pixels(batch: Dict[str, jax.Array], cfg: ModelConfig, dtype) -> jax.Array:
+    """uint8 NHWC (wire format) or float NCHW (pre-processed) -> float NCHW."""
+    pixels = batch["pixels"]
+    if pixels.dtype == jnp.uint8:
+        normalize = make_normalizer(cfg.vision)
+        return normalize(pixels, dtype=dtype)
+    return pixels.astype(dtype)
+
+
+def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat=False):
+    params = merge_params(trainable, frozen)
+    pixel_values = _prep_pixels(batch, cfg, dtype)
+
+    def fwd(params, input_ids, pixel_values, attention_mask, labels):
+        return vl_pythia.forward(
+            params, cfg, input_ids, pixel_values, attention_mask, labels,
+            dtype=dtype, attn_impl=attn_impl,
+        ).loss
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+    return fwd(params, batch["input_ids"], pixel_values, batch["attention_mask"], batch["labels"])
+
+
+def ewc_penalty(trainable, ewc_state, reg_lambda: float) -> jax.Array:
+    """0.5 * lambda * sum(F * (theta - theta*)^2)  (ewc.py:105-127)."""
+    fisher, old = ewc_state
+
+    def term(f, p, o):
+        return jnp.sum(f * jnp.square(p.astype(jnp.float32) - o.astype(jnp.float32)))
+
+    terms = jax.tree.map(term, fisher, trainable, old)
+    return 0.5 * reg_lambda * sum(jax.tree.leaves(terms))
+
+
+def make_train_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    tx,
+    *,
+    with_ewc: bool = False,
+    attn_impl: str = "auto",
+    donate: bool = True,
+) -> Callable:
+    """Standard CE step (naive / ER current-task & memory batches / EWC).
+
+    Gradient accumulation lives OUTSIDE this function as optax.MultiSteps at
+    microbatch granularity — required to reproduce the reference's replay
+    cadence, where every replay_interval-th MICRObatch inside an
+    accumulation window is a memory batch (vqa_cont_learner.py:216 under PL
+    accumulate_grad_batches), so one optimizer step blends task and
+    replay/distill gradients exactly as the reference does.
+    """
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], ewc_state=None):
+        def loss_fn(trainable):
+            loss = _ce_loss(trainable, state.frozen, model_cfg, batch, dtype, attn_impl, remat=train_cfg.remat)
+            if with_ewc and ewc_state is not None:
+                loss = loss + ewc_penalty(trainable, ewc_state, train_cfg.reg_lambda)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax_apply_updates(state.trainable, updates)
+        new_state = TrainState(state.step + 1, trainable, state.frozen, opt_state)
+        metrics = {"loss": loss, "grad_norm": optax_global_norm(grads)}
+        return new_state, metrics
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+# small local helpers so optax isn't imported at module top in jit bodies
+def optax_apply_updates(params, updates):
+    import optax
+
+    return optax.apply_updates(params, updates)
+
+
+def optax_global_norm(tree) -> jax.Array:
+    import optax
+
+    return optax.global_norm(tree)
+
+
+# ---------------------------------------------------------------------------
+# Feature distillation (MAFED)
+# ---------------------------------------------------------------------------
+
+def distillation_layers(strategy: str, num_hidden_layers: int, distillation_layer: Optional[int]) -> List[int]:
+    """Which hidden_states indices to distill.
+
+    Parity: distillation_loss_weights.py:81-84 with the constructor rules at
+    :33-43 — a valid `distillation_layer` forces the 'single' strategy; the
+    layer count is the decoder's num_hidden_layers - 1 (train.py:133).
+    """
+    if strategy == "cumulative":
+        if distillation_layer is None:
+            raise ValueError("cumulative layer weighting needs distillation_layer")
+        return list(range(distillation_layer))
+    if distillation_layer is not None and 0 <= distillation_layer < num_hidden_layers:
+        return [distillation_layer]
+    if strategy == "single":
+        raise ValueError("'single' layer weighting needs a valid distillation_layer")
+    return list(range(num_hidden_layers))
+
+
+def layer_coefficients(strategy: str, gamma: float, num_layers: int) -> np.ndarray:
+    """Per-layer loss weights (distillation_loss_weights.py:49-60)."""
+    if strategy == "single":
+        return np.ones((1,), np.float32)
+    if strategy == "equal":
+        return np.full((num_layers,), 1.0 / num_layers, np.float32)
+    # discounted / cumulative: gamma^distance, nearest-to-top weighted highest
+    distances = np.arange(num_layers, 0, -1, dtype=np.float32)
+    coeffs = gamma ** distances
+    return (coeffs / coeffs.sum()).astype(np.float32)
+
+
+def modality_masks(attention_mask: jax.Array, num_vision_tokens: int = NUM_VISION_TOKENS) -> Tuple[jax.Array, jax.Array]:
+    """(lang_mask, image_mask) over [vision ++ text] (distillation.py:134-144)."""
+    bsz, txt_len = attention_mask.shape
+    zeros = jnp.zeros((bsz, num_vision_tokens), attention_mask.dtype)
+    ones = jnp.ones((bsz, num_vision_tokens), attention_mask.dtype)
+    lang = jnp.concatenate([zeros, attention_mask], axis=1)
+    image = jnp.concatenate([ones, jnp.zeros_like(attention_mask)], axis=1)
+    return lang, image
+
+
+def _masked_token_loss(h: jax.Array, h_past: jax.Array, mask: jax.Array, kind: str) -> jax.Array:
+    """Masked per-token distance, averaged over unmasked tokens.
+
+    h, h_past: [..., T, D]; mask: [..., T]. MSE: ||h-h'||^2/D per token
+    (distillation.py:237-249); cosine: 1 - cos(h, h') (:226-235).
+    """
+    h32 = h.astype(jnp.float32)
+    p32 = h_past.astype(jnp.float32)
+    if kind == "mse":
+        tok = jnp.mean(jnp.square(h32 - p32), axis=-1)
+    elif kind == "cosine":
+        hn = h32 / jnp.maximum(jnp.linalg.norm(h32, axis=-1, keepdims=True), 1e-8)
+        pn = p32 / jnp.maximum(jnp.linalg.norm(p32, axis=-1, keepdims=True), 1e-8)
+        tok = 1.0 - jnp.sum(hn * pn, axis=-1)
+    else:
+        raise ValueError(kind)
+    m = mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(m, axis=(-2, -1)), 1.0)
+    return jnp.sum(tok * m, axis=(-2, -1)) / denom
+
+
+def make_distill_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    tx,
+    *,
+    attn_impl: str = "auto",
+    donate: bool = True,
+) -> Callable:
+    """Fused student+teacher replay step for featdistill/MAFED.
+
+    step(state, teacher_trainable, batch, lang_coeffs) where lang_coeffs is
+    a [num_distill_layers] array of language-modality weights in [0,1]
+    (from the balanced constant, the adaptive estimator, or — for the
+    'equal' strategy — ignored in favor of in-graph token counts).
+    """
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    num_hl = model_cfg.num_hidden_layers - 1  # train.py:133
+    layers = distillation_layers(
+        train_cfg.distillation_layer_weighing_strategy, num_hl, train_cfg.distillation_layer,
+    )
+    layer_coeffs = jnp.asarray(
+        layer_coefficients(
+            "single" if len(layers) == 1 and train_cfg.distillation_layer is not None
+            else train_cfg.distillation_layer_weighing_strategy,
+            train_cfg.distillation_layer_discount,
+            len(layers),
+        )
+    )
+    layers_arr = tuple(layers)
+    strategy = train_cfg.distillation_modality_weighing_strategy
+    loss_kind = train_cfg.distillation_loss
+    replay_coeff = train_cfg.replay_coeff
+    distill_coeff = train_cfg.distillation_coeff
+    cls_distill = train_cfg.cls_distillation
+
+    n_vis = model_cfg.vision.num_patches  # 256 for EVA-02-L/14 @224
+
+    def step(state: TrainState, teacher_trainable, batch, lang_coeffs):
+        lang_mask, image_mask = modality_masks(batch["attention_mask"], n_vis)
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            pixel_values = _prep_pixels(batch, model_cfg, dtype)
+            # vision runs ONCE; both passes share the frozen features
+            patches = vl_pythia.get_patch_embeddings(params, model_cfg, pixel_values, dtype=dtype, attn_impl=attn_impl)
+
+            student = vl_pythia.forward(
+                params, model_cfg, batch["input_ids"], None,
+                batch["attention_mask"], batch.get("labels") if replay_coeff > 0 else None,
+                patch_embeddings=patches, output_hidden_states=True,
+                dtype=dtype, attn_impl=attn_impl,
+            )
+            teacher_params = merge_params(teacher_trainable, state.frozen)
+            teacher = vl_pythia.forward(
+                jax.lax.stop_gradient(teacher_params), model_cfg,
+                batch["input_ids"], None, batch["attention_mask"], None,
+                patch_embeddings=patches, output_hidden_states=True,
+                dtype=dtype, attn_impl=attn_impl,
+            )
+            t_hs = jax.lax.stop_gradient(teacher.hidden_states)
+
+            loss = jnp.zeros((), jnp.float32)
+            if replay_coeff > 0 and student.loss is not None:
+                loss = loss + replay_coeff * student.loss
+
+            if distill_coeff != 0:
+                s_sel = jnp.stack([student.hidden_states[l] for l in layers_arr])  # [Ld, B, T, H]
+                t_sel = jnp.stack([t_hs[l] for l in layers_arr])
+                if cls_distill:
+                    # distill position 0 only (distillation.py:251-257)
+                    s0 = s_sel[..., 0, :].astype(jnp.float32)
+                    t0 = t_sel[..., 0, :].astype(jnp.float32)
+                    if loss_kind == "cosine":
+                        sn = s0 / jnp.maximum(jnp.linalg.norm(s0, axis=-1, keepdims=True), 1e-8)
+                        tn = t0 / jnp.maximum(jnp.linalg.norm(t0, axis=-1, keepdims=True), 1e-8)
+                        per_layer = jnp.mean(1.0 - jnp.sum(sn * tn, axis=-1), axis=-1)
+                    else:
+                        per_layer = jnp.mean(jnp.mean(jnp.square(s0 - t0), axis=-1), axis=-1)
+                    dloss = jnp.sum(layer_coeffs * distill_coeff * per_layer)
+                else:
+                    lang_l = _masked_token_loss(s_sel, t_sel, lang_mask[None], loss_kind)  # [Ld]
+                    img_l = _masked_token_loss(s_sel, t_sel, image_mask[None], loss_kind)
+                    if strategy == "equal":
+                        # token-count-proportional (dl_weights.py:148-155)
+                        n_lang = jnp.sum(lang_mask).astype(jnp.float32)
+                        n_img = jnp.sum(image_mask).astype(jnp.float32)
+                        lw = jnp.full((len(layers_arr),), n_lang / (n_lang + n_img))
+                        vw = jnp.full((len(layers_arr),), n_img / (n_lang + n_img))
+                    else:  # balanced / adaptive: externally supplied coefficients
+                        lw = lang_coeffs.astype(jnp.float32)
+                        vw = 1.0 - lw
+                    per_layer = lw * lang_l + vw * img_l
+                    dloss = jnp.sum(layer_coeffs * distill_coeff * per_layer)
+                loss = loss + dloss
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax_apply_updates(state.trainable, updates)
+        new_state = TrainState(state.step + 1, trainable, state.frozen, opt_state)
+        return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+# ---------------------------------------------------------------------------
+# EWC Fisher estimation
+# ---------------------------------------------------------------------------
+
+def make_ewc_fisher_fn(model_cfg: ModelConfig, train_cfg: TrainConfig, attn_impl: str = "auto") -> Callable:
+    """Jitted grad^2 accumulator: importances += (d(batch_size*loss)/dtheta)^2.
+
+    Parity: ewc.py:70-103 — loss scaled by batch size before backward,
+    squared grads summed over batches, divided by total samples by the
+    caller.
+    """
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def fisher_step(trainable, frozen, batch, importances):
+        bsz = batch["input_ids"].shape[0]
+
+        def loss_fn(tr):
+            return bsz * _ce_loss(tr, frozen, model_cfg, batch, dtype, attn_impl)
+
+        grads = jax.grad(loss_fn)(trainable)
+        importances = jax.tree.map(
+            lambda acc, g: acc + jnp.square(g.astype(jnp.float32)), importances, grads
+        )
+        return importances
+
+    return jax.jit(fisher_step, donate_argnums=(3,))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive modality weights
+# ---------------------------------------------------------------------------
+
+def make_adaptive_weights_fn(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    layers: Sequence[int],
+    attn_impl: str = "auto",
+) -> Callable:
+    """Per-batch modality importances via d(loss)/d(hidden_states[layer]).
+
+    Returns fn(trainable, frozen, batch) -> (lang_sums[Ld], image_sums[Ld],
+    n_lang_tokens, n_image_tokens). Parity with
+    distillation_loss_weights.py:91-146: grad L2 norm per token, masked sums.
+    """
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    layers = tuple(layers)
+    n_layers_total = model_cfg.num_hidden_layers  # perturbation covers hs[0..L-1]
+
+    n_vis = model_cfg.vision.num_patches
+
+    def fn(trainable, frozen, batch):
+        params = merge_params(trainable, frozen)
+        pixel_values = _prep_pixels(batch, model_cfg, dtype)
+        b, t = batch["input_ids"].shape
+        full_t = n_vis + t
+        pert0 = jnp.zeros((n_layers_total, b, full_t, model_cfg.hidden_size), jnp.float32)
+
+        def loss_of_pert(pert):
+            out = vl_pythia.forward(
+                params, model_cfg, batch["input_ids"], pixel_values,
+                batch["attention_mask"], batch["labels"],
+                hidden_perturbation=pert, dtype=dtype, attn_impl=attn_impl,
+            )
+            return out.loss
+
+        grads = jax.grad(loss_of_pert)(pert0)  # [L, B, T, H] = dL/d hs[0..L-1]
+        sel = jnp.stack([grads[l] for l in layers])  # [Ld, B, T, H]
+        gnorm = jnp.linalg.norm(sel, axis=-1)  # [Ld, B, T]
+        lang_mask, image_mask = modality_masks(batch["attention_mask"], n_vis)
+        lm = lang_mask.astype(jnp.float32)[None]
+        im = image_mask.astype(jnp.float32)[None]
+        lang_sums = jnp.sum(gnorm * lm, axis=(1, 2))
+        image_sums = jnp.sum(gnorm * im, axis=(1, 2))
+        return lang_sums, image_sums, jnp.sum(lm[0]), jnp.sum(im[0])
+
+    return jax.jit(fn)

@@ -3,6 +3,8 @@ without TPU hardware (the JAX analog of a fake NCCL backend; SURVEY.md §4)."""
 
 import os
 
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # no retry storms in tests
+
 # Force CPU: the driver env pins JAX_PLATFORMS=axon (TPU tunnel) and the
 # axon sitecustomize re-applies it via jax.config at registration, so both
 # the env var AND jax.config must be overridden before first backend use.
