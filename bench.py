@@ -1,0 +1,98 @@
+"""Headline benchmark: fused student+teacher (MAFED) step throughput.
+
+Measures examples/sec/chip of the feature-distillation replay step — the
+reference's hottest path (two full forwards + one backward per batch,
+mafed/methods/distillation.py:84-122) — on VL-Pythia-410M + EVA-02-L/14 at
+the canonical shapes (batch 16, 256 vision + 80 text tokens, bf16).
+
+vs_baseline: ratio to an estimated A100 reference throughput for the same
+step. The reference repo publishes no numbers (BASELINE.md), so the A100
+figure is a roofline estimate documented below; the BASELINE.json target of
+>=5x applies to a v5e-8 slice (8 chips x this per-chip number).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# A100 estimate for the reference's student+teacher step, bsz16:
+#   FLOPs/example ~= student fwd+bwd (3x) + teacher fwd (1x) over the 410M
+#   decoder at 336 tokens, + TWO vision fwd passes (the reference recomputes
+#   EVA-02-L features for the teacher) ~= 1.4 TFLOP
+#   A100 BF16 312 TFLOP/s peak at ~35% MFU -> ~110 TFLOP/s -> ~80 ex/s
+A100_REFERENCE_EX_PER_S = 80.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mafed_tpu.core.config import ModelConfig, TrainConfig
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.optim.optimizer import build_optimizer
+    from mafed_tpu.optim.sched import linear_warmup_schedule
+    from mafed_tpu.training.step import make_distill_step
+    from mafed_tpu.training.train_state import TrainState, split_params
+    from __graft_entry__ import _example_batch
+
+    model_cfg = ModelConfig()  # VL-Pythia-410M + EVA-02-L defaults
+    train_cfg = TrainConfig(
+        batch_size=16,
+        accumulate_grad_batches=1,
+        optim="adamw",
+        weight_decay=0.01,
+        replay_coeff=1.0,
+        distillation_coeff=1.0,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+        distillation_layer_discount=0.5,
+    )
+
+    params = vl_pythia.init_params(
+        model_cfg, jax.random.PRNGKey(0), dtype=jnp.float32, vision_dtype=jnp.bfloat16
+    )
+    trainable, frozen = split_params(params)
+    teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
+
+    tx = build_optimizer(train_cfg, trainable, linear_warmup_schedule(5e-5, 100, 10000))
+    opt_state = tx.init(trainable)
+    state = TrainState(jnp.zeros((), jnp.int32), trainable, frozen, opt_state)
+
+    batch_np = _example_batch(model_cfg, batch=train_cfg.batch_size, text_len=80)
+    batch = {k: jax.device_put(v) for k, v in batch_np.items()}
+    num_layers = model_cfg.num_hidden_layers - 1
+    lang_coeffs = jnp.full((num_layers,), 0.5, jnp.float32)
+
+    step = make_distill_step(model_cfg, train_cfg, tx)
+
+    # warmup + compile
+    state, metrics = step(state, teacher, batch, lang_coeffs)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, teacher, batch, lang_coeffs)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+
+    ex_per_s = train_cfg.batch_size * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "mafed_student_teacher_step_examples_per_sec_per_chip",
+                "value": round(ex_per_s, 2),
+                "unit": "examples/sec/chip",
+                "vs_baseline": round(ex_per_s / A100_REFERENCE_EX_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

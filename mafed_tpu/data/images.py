@@ -84,6 +84,20 @@ def make_normalizer(cfg: VisionConfig):
     return normalize
 
 
+def prep_pixels(batch, vision_cfg: VisionConfig, dtype):
+    """uint8 NHWC (wire format) or float NCHW (preprocessed) -> float NCHW.
+
+    Safe inside jit; first op of every step so XLA fuses the normalize into
+    the patch-embed convolution.
+    """
+    import jax.numpy as jnp
+
+    pixels = batch["pixels"]
+    if pixels.dtype == jnp.uint8:
+        return make_normalizer(vision_cfg)(pixels, dtype=dtype)
+    return pixels.astype(dtype)
+
+
 def synthetic_image(seed: int, cfg: VisionConfig) -> np.ndarray:
     """Deterministic fake image for tests/benchmarks."""
     rng = np.random.default_rng(seed)

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 
 from mafed_tpu.constants import MAX_NEW_TOKENS, NUM_VISION_TOKENS
 from mafed_tpu.core.config import ModelConfig
+from mafed_tpu.data.images import prep_pixels
 from mafed_tpu.models import gpt_neox, vl_pythia
-from mafed_tpu.training.step import _prep_pixels
 
 
 def make_greedy_decoder(
@@ -40,7 +40,7 @@ def make_greedy_decoder(
         input_ids = batch["input_ids"]
         attention_mask = batch["attention_mask"]
         b, txt_len = input_ids.shape
-        pixel_values = _prep_pixels(batch, model_cfg, dtype)
+        pixel_values = prep_pixels(batch, model_cfg.vision, dtype)
 
         inputs_embeds, full_mask = vl_pythia.build_inputs(
             params, model_cfg, input_ids, pixel_values, attention_mask,

@@ -10,13 +10,13 @@ in-repo Pallas kernel. One kernel serves both uses:
 
 Layout convention: q, k, v are [batch, heads, seq, head_dim].
 
-The kernel is a standard blockwise online-softmax flash attention: the grid
-iterates (batch*heads, q_blocks), each program streams k/v blocks through
-VMEM with running max/sum rescaling, so HBM traffic is O(T) per row instead
-of materializing the [T, T] score matrix. Causal q-blocks skip fully-masked
-k-blocks. The backward pass is left to XLA autodiff through the reference
-path by default (training uses `impl="xla"` under jit unless the Pallas
-custom-VJP path is selected).
+Forward is a blockwise online-softmax flash kernel: the grid iterates
+(batch*heads, q_blocks); each program streams k/v blocks through VMEM with
+running max/sum rescaling (no [T, T] score matrix in HBM); causal q-blocks
+skip fully-masked k-blocks. It additionally emits the per-row log-sum-exp,
+and a jax.custom_vjp supplies the standard flash backward from (o, lse)
+residuals — so the same kernel serves training and inference. KV-cache
+decode (traced causal offset) and CPU runs use the XLA reference path.
 """
 
 from __future__ import annotations
@@ -30,6 +30,8 @@ import numpy as np
 
 _INTERPRET = False  # flipped by tests on CPU
 
+_NEG = float(np.finfo(np.float32).min)
+
 
 def _on_tpu() -> bool:
     try:
@@ -39,7 +41,7 @@ def _on_tpu() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# XLA reference implementation (also the autodiff path)
+# XLA reference implementation (also the KV-cache/decode path)
 # ---------------------------------------------------------------------------
 
 def xla_attention(
@@ -57,7 +59,6 @@ def xla_attention(
     k_len = k.shape[2]
     scale = (head_dim ** -0.5) if scale is None else scale
     scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
-    neg = jnp.finfo(jnp.float32).min
     if causal:
         # offset aligns the causal diagonal: query row i sits at absolute
         # position offset+i in the key sequence. Defaults to q-as-suffix-of-k;
@@ -65,29 +66,29 @@ def xla_attention(
         offset = (k_len - q_len) if causal_offset is None else causal_offset
         qi = jnp.arange(q_len)[:, None]
         ki = jnp.arange(k_len)[None, :]
-        scores = jnp.where((ki <= qi + offset)[None, None], scores, neg)
+        scores = jnp.where((ki <= qi + offset)[None, None], scores, _NEG)
     if key_padding_mask is not None:
         keep = key_padding_mask[:, None, None, :].astype(bool)
-        scores = jnp.where(keep, scores, neg)
+        scores = jnp.where(keep, scores, _NEG)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
 # ---------------------------------------------------------------------------
-# Pallas flash attention (forward)
+# Pallas flash attention forward kernel
 # ---------------------------------------------------------------------------
 
 def _flash_kernel(
-    mask_ref,  # [1, k_len] int32 key-padding (scalar-prefetch-ish input) or None sentinel
+    mask_ref,  # [1, 1, k_len] int32 key-padding
     q_ref,     # [1, block_q, head_dim]
     k_ref,     # [1, k_len, head_dim]
     v_ref,     # [1, k_len, head_dim]
     o_ref,     # [1, block_q, head_dim]
+    lse_ref,   # [1, block_q, 1] float32 log-sum-exp (inf for empty rows)
     *,
     causal: bool,
     scale: float,
     block_k: int,
-    q_offset_blocks: int,
     kv_len: int,
     use_mask: bool,
 ):
@@ -100,8 +101,7 @@ def _flash_kernel(
     q = q_ref[0].astype(jnp.float32) * scale  # [block_q, head_dim]
 
     num_k_blocks = pl.cdiv(kv_len, block_k)
-    # causal: query rows in this block span [q_start, q_start + block_q)
-    q_start = (qi + q_offset_blocks) * block_q if causal else 0
+    q_start = qi * block_q if causal else 0
 
     def body(ki_idx, carry):
         acc, m_prev, l_prev = carry
@@ -110,18 +110,21 @@ def _flash_kernel(
         v_blk = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
 
-        neg = jnp.finfo(jnp.float32).min
+        keep = jnp.ones((block_q, block_k), bool)
         if causal:
             rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(cols <= rows, s, neg)
+            keep = keep & (cols <= rows)
         if use_mask:
-            keep = mask_ref[0, pl.ds(k_start, block_k)] > 0
-            s = jnp.where(keep[None, :], s, neg)
+            kp = mask_ref[0, 0, pl.ds(k_start, block_k)] > 0
+            keep = keep & kp[None, :]
+        s = jnp.where(keep, s, _NEG)
 
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new[:, None])
+        # explicit zeroing: when a row's keys are ALL masked, exp(s - m) would
+        # be 1 (s == m == finfo.min), silently yielding uniform attention
+        p = jnp.exp(s - m_new[:, None]) * keep.astype(jnp.float32)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[:, None] + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
@@ -132,41 +135,39 @@ def _flash_kernel(
     l0 = jnp.zeros((block_q,), jnp.float32)
 
     if causal:
-        # skip k-blocks strictly above the diagonal for this q block
         last_block = jax.lax.div(q_start + block_q - 1, block_k) + 1
         upper = jnp.minimum(last_block, num_k_blocks)
     else:
         upper = num_k_blocks
     acc, m_fin, l_fin = jax.lax.fori_loop(0, upper, body, (acc0, m0, l0))
-    l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
+    empty = l_fin == 0.0
+    l_safe = jnp.where(empty, 1.0, l_fin)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    # lse = m + log(l); +inf for rows with no valid keys so exp(s - lse) = 0
+    # in the backward pass (their outputs are zero and never consumed).
+    lse = jnp.where(empty, jnp.inf, m_fin + jnp.log(l_safe))
+    lse_ref[0] = lse[:, None]
 
 
-def _pallas_flash(
+def _flash_forward(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
+    mask: jax.Array,  # [B, k_len] int32
     *,
-    key_padding_mask: Optional[jax.Array],
     causal: bool,
     scale: float,
-    block_q: int = 128,
-    block_k: int = 128,
-) -> jax.Array:
+    block_q: int,
+    block_k: int,
+):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     batch, heads, q_len, head_dim = q.shape
     kv_len = k.shape[2]
 
-    # pad sequence dims to block multiples
     q_pad = (-q_len) % block_q
     k_pad = (-kv_len) % block_k
-    use_mask = key_padding_mask is not None or k_pad > 0
-    if key_padding_mask is None:
-        mask = jnp.ones((batch, kv_len), jnp.int32)
-    else:
-        mask = key_padding_mask.astype(jnp.int32)
+    use_mask = bool(k_pad) or True  # mask is always materialized by caller
     if k_pad:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
@@ -174,52 +175,91 @@ def _pallas_flash(
     if q_pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
 
-    padded_q_len = q_len + q_pad
-    padded_k_len = kv_len + k_pad
+    pq, pk = q_len + q_pad, kv_len + k_pad
     bh = batch * heads
-    qm = q.reshape(bh, padded_q_len, head_dim)
-    km = k.reshape(bh, padded_k_len, head_dim)
-    vm = v.reshape(bh, padded_k_len, head_dim)
-    maskm = jnp.repeat(mask, heads, axis=0)  # [bh, padded_k_len]
+    qm = q.reshape(bh, pq, head_dim)
+    km = k.reshape(bh, pk, head_dim)
+    vm = v.reshape(bh, pk, head_dim)
+    maskm = jnp.repeat(mask.astype(jnp.int32), heads, axis=0)[:, None, :]  # [bh,1,pk]
 
-    # causal diagonal offset when q is the suffix of the kv sequence
-    q_offset = kv_len - q_len if causal else 0
-    if causal and q_offset % block_q != 0:
-        # uncommon path (cache decode uses q_len==1 handled by XLA); just
-        # fall back to full causal from absolute positions via offset blocks=0
-        # and rely on padding — handled by caller choosing XLA instead.
-        raise ValueError("pallas path requires q_offset to be a multiple of block_q")
-
-    grid = (bh, padded_q_len // block_q)
-
+    grid = (bh, pq // block_q)
     kernel = functools.partial(
         _flash_kernel,
-        causal=causal,
-        scale=scale,
-        block_k=block_k,
-        q_offset_blocks=q_offset // block_q,
-        kv_len=padded_k_len,
-        use_mask=use_mask,
+        causal=causal, scale=scale, block_k=block_k, kv_len=pk, use_mask=use_mask,
     )
-
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, padded_k_len), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, pk), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, padded_k_len, head_dim), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, padded_k_len, head_dim), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, pk, head_dim), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, pk, head_dim), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, padded_q_len, head_dim), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, pq, head_dim), q.dtype),
+            jax.ShapeDtypeStruct((bh, pq, 1), jnp.float32),
+        ),
         interpret=_INTERPRET,
     )(maskm, qm, km, vm)
 
-    out = out.reshape(batch, heads, padded_q_len, head_dim)
-    if q_pad:
-        out = out[:, :, :q_len]
-    return out
+    out = out.reshape(batch, heads, pq, head_dim)[:, :, :q_len]
+    lse = lse.reshape(batch, heads, pq)[:, :, :q_len]
+    return out, lse
+
+
+@functools.lru_cache(maxsize=32)
+def _make_flash(causal: bool, scale: float, block_q: int, block_k: int):
+    """Differentiable flash attention: pallas forward, recompute backward.
+
+    Backward uses the saved (o, lse) residuals and recomputes the masked
+    score matrix blockwise via XLA (at VQA sequence lengths ~336 the [T,T]
+    recompute is cheap and fuses well); grads:
+        p  = exp(s - lse)
+        dv = p^T do
+        ds = p * (do v^T - rowsum(do * o))
+        dq = ds k * scale ; dk = ds^T q * scale
+    """
+
+    @jax.custom_vjp
+    def flash(q, k, v, mask):
+        out, _ = _flash_forward(q, k, v, mask, causal=causal, scale=scale, block_q=block_q, block_k=block_k)
+        return out
+
+    def fwd(q, k, v, mask):
+        out, lse = _flash_forward(q, k, v, mask, causal=causal, scale=scale, block_q=block_q, block_k=block_k)
+        return out, (q, k, v, mask, out, lse)
+
+    def bwd(res, g):
+        q, k, v, mask, out, lse = res
+        q_len, k_len = q.shape[2], k.shape[2]
+        q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
+        g32, o32 = g.astype(jnp.float32), out.astype(jnp.float32)
+
+        s = jnp.einsum("bhqd,bhkd->bhqk", q32 * scale, k32, preferred_element_type=jnp.float32)
+        if causal:
+            offset = k_len - q_len
+            qi = jnp.arange(q_len)[:, None]
+            ki = jnp.arange(k_len)[None, :]
+            s = jnp.where((ki <= qi + offset)[None, None], s, _NEG)
+        keep = mask[:, None, None, :].astype(bool)
+        s = jnp.where(keep, s, _NEG)
+        p = jnp.exp(s - lse[..., None])  # exact probs; 0 for empty rows (lse=inf)
+
+        dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32, preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32, preferred_element_type=jnp.float32)
+        delta = jnp.sum(g32 * o32, axis=-1, keepdims=True)  # [b,h,q,1]
+        ds = p * (dp - delta)
+        dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k32, preferred_element_type=jnp.float32) * scale
+        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q32, preferred_element_type=jnp.float32) * scale
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+    flash.defvjp(fwd, bwd)
+    return flash
 
 
 # ---------------------------------------------------------------------------
@@ -236,31 +276,35 @@ def dot_product_attention(
     causal_offset=None,
     scale: Optional[float] = None,
     impl: str = "auto",
+    block_q: int = 128,
+    block_k: int = 128,
 ) -> jax.Array:
     """Attention with [B, H, T, D] layout.
 
-    impl: "auto" (pallas on TPU for inference-friendly shapes, else XLA),
-    "pallas", or "xla". A traced causal_offset (KV-cache prefill/decode)
-    always routes to XLA.
+    impl: "auto" (pallas flash on TPU, XLA elsewhere), "pallas", or "xla".
+    A traced causal_offset (KV-cache decode) always routes to XLA.
     """
     head_dim = q.shape[-1]
-    scale = (head_dim ** -0.5) if scale is None else scale
+    scale_f = float((head_dim ** -0.5) if scale is None else scale)
 
-    if impl == "xla" or causal_offset is not None:
-        return xla_attention(
-            q, k, v, key_padding_mask=key_padding_mask, causal=causal,
-            causal_offset=causal_offset, scale=scale,
-        )
-
-    wants_pallas = impl == "pallas" or (impl == "auto" and (_on_tpu() or _INTERPRET))
-    if wants_pallas:
+    use_pallas = impl == "pallas" or (impl == "auto" and (_on_tpu() or _INTERPRET))
+    if use_pallas and causal_offset is None:
         q_len, kv_len = q.shape[2], k.shape[2]
-        ok = q.shape[-1] % 128 == 0 or q.shape[-1] in (64, 96)
-        ok = ok and q_len >= 8 and (not causal or kv_len == q_len)
-        if ok:
-            try:
-                return _pallas_flash(q, k, v, key_padding_mask=key_padding_mask, causal=causal, scale=scale)
-            except Exception:
-                if impl == "pallas":
-                    raise
-    return xla_attention(q, k, v, key_padding_mask=key_padding_mask, causal=causal, scale=scale)
+        shapes_ok = head_dim % 128 == 0 or head_dim in (64, 96, 128, 256)
+        shapes_ok = shapes_ok and q_len >= 8 and (not causal or kv_len == q_len)
+        if shapes_ok:
+            mask = (
+                key_padding_mask.astype(jnp.int32)
+                if key_padding_mask is not None
+                else jnp.ones((q.shape[0], kv_len), jnp.int32)
+            )
+            bq = min(block_q, ((q_len + 7) // 8) * 8)  # sublane-aligned
+            flash = _make_flash(causal, scale_f, bq, block_k)
+            return flash(q, k, v, mask)
+        if impl == "pallas":
+            raise ValueError(f"unsupported shapes for pallas flash attention: {q.shape} {k.shape}")
+
+    return xla_attention(
+        q, k, v, key_padding_mask=key_padding_mask, causal=causal,
+        causal_offset=causal_offset, scale=scale_f,
+    )

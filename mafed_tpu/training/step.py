@@ -31,18 +31,13 @@ import numpy as np
 
 from mafed_tpu.constants import NUM_VISION_TOKENS
 from mafed_tpu.core.config import ModelConfig, TrainConfig
-from mafed_tpu.data.images import make_normalizer
+from mafed_tpu.data.images import prep_pixels
 from mafed_tpu.models import vl_pythia
 from mafed_tpu.training.train_state import TrainState, merge_params
 
 
 def _prep_pixels(batch: Dict[str, jax.Array], cfg: ModelConfig, dtype) -> jax.Array:
-    """uint8 NHWC (wire format) or float NCHW (pre-processed) -> float NCHW."""
-    pixels = batch["pixels"]
-    if pixels.dtype == jnp.uint8:
-        normalize = make_normalizer(cfg.vision)
-        return normalize(pixels, dtype=dtype)
-    return pixels.astype(dtype)
+    return prep_pixels(batch, cfg.vision, dtype)
 
 
 def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat=False):
