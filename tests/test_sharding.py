@@ -1,0 +1,102 @@
+"""SPMD tests on the 8-virtual-device CPU mesh (SURVEY.md §4
+"distributed-without-a-cluster"): pjit'd train step under dp x tp, metric
+psum reduction, and the multichip dry run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mafed_tpu.core.mesh import batch_sharding, make_mesh, param_partition_spec, shard_params
+
+
+def test_make_mesh_infers_data_axis(eight_devices):
+    mesh = make_mesh((-1, 2), ("data", "model"))
+    assert mesh.devices.shape == (4, 2)
+    mesh1 = make_mesh((-1, 1), ("data", "model"))
+    assert mesh1.devices.shape == (8, 1)
+
+
+def test_param_partition_specs():
+    w = np.zeros((8, 16))
+    assert param_partition_spec(("decoder", "layers", "attention", "query_key_value", "weight"), w) == P(None, "model")
+    assert param_partition_spec(("decoder", "layers", "attention", "dense", "weight"), w) == P("model", None)
+    assert param_partition_spec(("decoder", "layers", "mlp", "dense_h_to_4h", "weight"), w) == P(None, "model")
+    assert param_partition_spec(("decoder", "final_layer_norm", "weight"), np.zeros((8,))) == P()
+
+
+def test_psum_metric_reduction(eight_devices):
+    """Distributed metric all_reduce: the TPU-native replacement for the
+    reference's NCCL all_reduce (eval_utils.py:135-138)."""
+    mesh = make_mesh((8,), ("data",))
+
+    @jax.jit
+    def global_accuracy(correct, total):
+        from jax.experimental.shard_map import shard_map
+
+        def local(c, t):
+            return (
+                jax.lax.psum(jnp.sum(c), "data"),
+                jax.lax.psum(jnp.sum(t), "data"),
+            )
+
+        c, t = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=(P(), P()),
+        )(correct, total)
+        return c / t
+
+    correct = jax.device_put(np.arange(8, dtype=np.float32), NamedSharding(mesh, P("data")))
+    total = jax.device_put(np.full((8,), 2.0, np.float32), NamedSharding(mesh, P("data")))
+    acc = float(global_accuracy(correct, total))
+    assert abs(acc - (np.arange(8).sum() / 16.0)) < 1e-6
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8(eight_devices):
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device(eight_devices):
+    """DP-sharded step must produce the same loss as replicated execution."""
+    from __graft_entry__ import _example_batch
+    from mafed_tpu.core.config import ModelConfig, TrainConfig, VisionConfig
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.optim.optimizer import build_optimizer
+    from mafed_tpu.optim.sched import linear_warmup_schedule
+    from mafed_tpu.training.step import make_train_step
+    from mafed_tpu.training.train_state import TrainState, split_params
+
+    model_cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64,
+        vision=VisionConfig(img_size=28, patch_size=14, embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0),
+    )
+    train_cfg = TrainConfig(batch_size=8, accumulate_grad_batches=1, optim="adamw", weight_decay=0.01)
+    params = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(0))
+    trainable, frozen = split_params(params)
+    tx = build_optimizer(train_cfg, trainable, linear_warmup_schedule(1e-3, 2, 100))
+
+    batch_np = _example_batch(model_cfg, batch=8, text_len=16)
+
+    def run(mesh=None):
+        t = jax.tree.map(lambda x: x, trainable)
+        state = TrainState(jnp.zeros((), jnp.int32), t, frozen, tx.init(t))
+        step = make_train_step(model_cfg, train_cfg, tx, attn_impl="xla", donate=False)
+        if mesh is not None:
+            sh = batch_sharding(mesh)
+            batch = {k: jax.device_put(v, sh) for k, v in batch_np.items()}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        _, m = step(state, batch)
+        return float(m["loss"])
+
+    loss_single = run()
+    loss_dp = run(make_mesh((8, 1), ("data", "model")))
+    assert abs(loss_single - loss_dp) < 1e-4
