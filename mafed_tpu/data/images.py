@@ -43,8 +43,22 @@ def get_image_path(image_dir: str, image_name: str) -> str:
     return os.path.join(image_dir, image_path)
 
 
-def load_and_resize(path: str, cfg: VisionConfig) -> np.ndarray:
-    """Host side: decode + bicubic short-side resize + center crop -> uint8 HWC."""
+def load_and_resize(path: str, cfg: VisionConfig, use_native: bool = True) -> np.ndarray:
+    """Host side: decode + bicubic short-side resize + center crop -> uint8 HWC.
+
+    Uses the C++ image engine (mafed_tpu/native) when available — same
+    geometry and PIL-compatible bicubic kernel, threaded batch decode — with
+    a PIL fallback.
+    """
+    if use_native and os.environ.get("MAFED_NATIVE_IMAGES", "1") != "0":
+        try:
+            from mafed_tpu.native.engine import get_engine
+
+            eng = get_engine()
+            if eng is not None:
+                return eng.decode(path, cfg.img_size, cfg.crop_pct)
+        except Exception:
+            pass  # fall through to PIL
     if not _HAS_PIL:
         raise RuntimeError("PIL unavailable for image decoding")
     img = Image.open(path).convert("RGB")
