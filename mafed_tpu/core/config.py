@@ -25,6 +25,7 @@ class VisionConfig:
     """
 
     name: str = "timm/eva02_large_patch14_clip_224"
+    backbone: str = "eva02"  # "eva02" (timm Eva) or "clip" (HF CLIPVisionModel)
     img_size: int = 224
     patch_size: int = 14
     embed_dim: int = 1024

@@ -100,8 +100,20 @@ def get_patch_embeddings(
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
 ) -> jax.Array:
-    """Frozen EVA-02 features with CLS dropped -> [B, 256, d_vis]."""
-    feats = eva02.forward_features(params["vision"], cfg.vision, pixel_values, dtype=dtype, attn_impl=attn_impl)
+    """Frozen vision features with CLS dropped -> [B, N, d_vis].
+
+    EVA-02 uses forward_features output; CLIP backbones select
+    hidden_states[select_layer] like the reference (vl_pythia.py:453-475).
+    """
+    if cfg.vision.backbone == "clip":
+        from mafed_tpu.models import clip_vit
+
+        hs = clip_vit.forward_hidden_states(
+            params["vision"], cfg.vision, pixel_values, dtype=dtype, attn_impl=attn_impl
+        )
+        feats = hs[cfg.select_layer]
+    else:
+        feats = eva02.forward_features(params["vision"], cfg.vision, pixel_values, dtype=dtype, attn_impl=attn_impl)
     if cfg.select_feature == "patch":
         feats = feats[:, 1:]
     elif cfg.select_feature != "cls_patch":
