@@ -98,7 +98,9 @@ def _flash_kernel(
     head_dim = q_ref.shape[2]
     qi = pl.program_id(1)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # [block_q, head_dim]
+    # keep matmul operands in the input dtype (bf16 on TPU -> full-rate MXU);
+    # accumulate scores and the output in f32
+    q = q_ref[0]  # [block_q, head_dim]
 
     num_k_blocks = pl.cdiv(kv_len, block_k)
     q_start = qi * block_q if causal else 0
@@ -106,9 +108,9 @@ def _flash_kernel(
     def body(ki_idx, carry):
         acc, m_prev, l_prev = carry
         k_start = ki_idx * block_k
-        k_blk = k_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(k_start, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        k_blk = k_ref[0, pl.ds(k_start, block_k), :]
+        v_blk = v_ref[0, pl.ds(k_start, block_k), :]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale  # [bq, bk]
 
         keep = jnp.ones((block_q, block_k), bool)
         if causal:
@@ -127,7 +129,9 @@ def _flash_kernel(
         p = jnp.exp(s - m_new[:, None]) * keep.astype(jnp.float32)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[:, None] + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc = acc * alpha[:, None] + jnp.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
+        )
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((block_q, head_dim), jnp.float32)
@@ -182,6 +186,8 @@ def _flash_forward(
     vm = v.reshape(bh, pk, head_dim)
     maskm = jnp.repeat(mask.astype(jnp.int32), heads, axis=0)[:, None, :]  # [bh,1,pk]
 
+    from jax.experimental.pallas import tpu as pltpu
+
     grid = (bh, pq // block_q)
     kernel = functools.partial(
         _flash_kernel,
@@ -190,6 +196,9 @@ def _flash_forward(
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         in_specs=[
             pl.BlockSpec((1, 1, pk), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0)),
