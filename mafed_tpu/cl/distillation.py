@@ -64,7 +64,9 @@ class FeatureDistillation(CLStrategy):
     def update(self, runner, state, dataset, loader) -> None:
         """Teacher <- finished model; memory += subset; adaptive weights."""
         # teacher = copy of the (just reloaded best) trainable params, frozen
-        self.teacher_trainable = jax.tree.map(lambda x: x, state.trainable)
+        # in bf16 (the reference teacher runs under bf16 autocast anyway,
+        # distillation.py:90) — halves teacher HBM footprint
+        self.teacher_trainable = jax.tree.map(lambda x: x.astype(jnp.bfloat16), state.trainable)
 
         indices = self.rng.choice(np.arange(len(dataset)), self.memory_per_task, replace=False)
         assert len(set(indices.tolist())) == self.memory_per_task
