@@ -34,7 +34,13 @@ class BatchLoader:
         drop_last: bool = False,
         prefetch_batches: int = 4,
         infinite: bool = False,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ) -> None:
+        """shard_id/num_shards: per-host data sharding for multi-host SPMD —
+        each host iterates its interleaved slice of the (shared, seeded)
+        epoch order; the TPU-native replacement for DistributedSampler
+        (reference replay.py:46-49, distillation.py:195-198)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -44,6 +50,8 @@ class BatchLoader:
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches
         self.infinite = infinite
+        self.shard_id = shard_id
+        self.num_shards = max(1, num_shards)
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -55,8 +63,10 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id :: self.num_shards]
         batches = []
-        for start in range(0, n, self.batch_size):
+        for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 continue
@@ -64,7 +74,7 @@ class BatchLoader:
         return batches
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards if self.num_shards > 1 else len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
