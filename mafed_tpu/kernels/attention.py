@@ -307,14 +307,19 @@ def dot_product_attention(
                 if key_padding_mask is not None
                 else jnp.ones((q.shape[0], kv_len), jnp.int32)
             )
-            # short sequences: one block per (b, h) — the online-softmax loop
-            # degenerates to a single exact-softmax pass in VMEM, which is
-            # faster than blockwise bookkeeping at VQA lengths (~336)
+            # short sequences: one lane-aligned block per (b, h) — the
+            # online-softmax loop degenerates to a single exact-softmax pass
+            # in VMEM (no rescaling bookkeeping) at VQA lengths (~336).
+            # Blocks stay multiples of 128: unaligned tiles send the Mosaic
+            # compiler into pathological layouts.
+            def r128(x):
+                return ((x + 127) // 128) * 128
+
             if q_len <= 512:
-                bq = ((q_len + 7) // 8) * 8
+                bq = r128(q_len)
             else:
-                bq = min(block_q, ((q_len + 7) // 8) * 8)  # sublane-aligned
-            bk = min(((kv_len + 127) // 128) * 128, 1024) if kv_len <= 1024 else block_k
+                bq = block_q
+            bk = r128(kv_len) if kv_len <= 1024 else block_k
             flash = _make_flash(causal, scale_f, bq, bk)
             return flash(q, k, v, mask)
         if impl == "pallas":

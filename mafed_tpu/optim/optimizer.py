@@ -13,13 +13,59 @@ into the same optax chain instead of a separate trainer hook.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from mafed_tpu.core.config import TrainConfig
+
+
+class ScheduleState(NamedTuple):
+    """LR-schedule state carried INSIDE the optimizer state.
+
+    Keeping warmup/total as state (not Python closure constants) means the
+    jitted train step compiles ONCE and is reused across all tasks even
+    though every task has a different schedule horizon — per-task
+    recompilation of a 400M-param step costs minutes on TPU.
+    """
+
+    count: jax.Array
+    warmup_steps: jax.Array
+    total_steps: jax.Array
+
+
+def triangular_factor(state: ScheduleState) -> jax.Array:
+    """Linear warmup then linear decay to 0 (HF semantics, sched.py:34-48)."""
+    step = state.count.astype(jnp.float32)
+    warm = step / jnp.maximum(state.warmup_steps.astype(jnp.float32), 1.0)
+    decay = jnp.maximum(
+        0.0,
+        (state.total_steps - state.count).astype(jnp.float32)
+        / jnp.maximum((state.total_steps - state.warmup_steps).astype(jnp.float32), 1.0),
+    )
+    return jnp.where(state.count < state.warmup_steps, warm, decay)
+
+
+def set_schedule(opt_state, warmup_steps: int, total_steps: int, reset_count: bool = True):
+    """Replace the ScheduleState horizon inside an optimizer state tree."""
+    def visit(node):
+        if isinstance(node, ScheduleState):
+            return ScheduleState(
+                jnp.zeros((), jnp.int32) if reset_count else node.count,
+                jnp.asarray(warmup_steps, jnp.int32),
+                jnp.asarray(total_steps, jnp.int32),
+            )
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*(visit(v) for v in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(visit(v) for v in node)
+        if isinstance(node, dict):
+            return {k: visit(v) for k, v in node.items()}
+        return node
+
+    return visit(opt_state)
 
 
 def _path_names(path) -> list:
@@ -52,8 +98,17 @@ def param_group_masks(params: Dict[str, Any]) -> Tuple[Dict, Dict]:
 def build_optimizer(
     config: TrainConfig,
     params: Dict[str, Any],
-    schedule: Callable,
+    schedule: Callable = None,
+    *,
+    base_lr: float = None,
 ) -> optax.GradientTransformation:
+    """Optax chain with a stateful triangular schedule.
+
+    When `schedule` is given it is used directly (legacy closure form);
+    otherwise the triangular schedule runs off ScheduleState inside the
+    optimizer state (see set_schedule), keeping one compiled step across
+    tasks.
+    """
     b1, b2 = config.betas
     lr_mul = config.lr_mul
     wd = config.weight_decay
@@ -82,20 +137,40 @@ def build_optimizer(
         # AdamW: theta -= lr_group * (adam_dir + wd * theta)
         chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
 
-    def per_group_lr(updates, state, params=None):
-        del params
-        step = state
+    lr0 = config.learning_rate if base_lr is None else base_lr
 
-        def apply(u, is_top):
-            lr = schedule(step) * (lr_mul if is_top else 1.0)
-            return -lr * u
+    if schedule is not None:
+        def per_group_lr(updates, state, params=None):
+            del params
+            step = state
 
-        updates = jax.tree.map(apply, updates, top_mask)
-        return updates, step + 1
+            def apply(u, is_top):
+                lr = schedule(step) * (lr_mul if is_top else 1.0)
+                return -lr * u
 
-    lr_transform = optax.GradientTransformation(
-        init=lambda params: jnp.zeros((), jnp.int32),
-        update=per_group_lr,
-    )
+            updates = jax.tree.map(apply, updates, top_mask)
+            return updates, step + 1
+
+        lr_transform = optax.GradientTransformation(
+            init=lambda params: jnp.zeros((), jnp.int32),
+            update=per_group_lr,
+        )
+    else:
+        def per_group_lr_state(updates, state: ScheduleState, params=None):
+            del params
+            lr = lr0 * triangular_factor(state)
+
+            def apply(u, is_top):
+                return -(lr * (lr_mul if is_top else 1.0)) * u
+
+            updates = jax.tree.map(apply, updates, top_mask)
+            return updates, ScheduleState(state.count + 1, state.warmup_steps, state.total_steps)
+
+        lr_transform = optax.GradientTransformation(
+            init=lambda params: ScheduleState(
+                jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32), jnp.ones((), jnp.int32)
+            ),
+            update=per_group_lr_state,
+        )
     chain.append(lr_transform)
     return optax.chain(*chain)

@@ -29,8 +29,7 @@ from mafed_tpu.data.loader import BatchLoader
 from mafed_tpu.data.prefetch import DevicePrefetcher
 from mafed_tpu.evaluation.decode import make_greedy_decoder
 from mafed_tpu.evaluation.validate import validate_vqa
-from mafed_tpu.optim.optimizer import build_optimizer
-from mafed_tpu.optim.sched import linear_warmup_schedule
+from mafed_tpu.optim.optimizer import build_optimizer, set_schedule
 from mafed_tpu.training.step import (
     make_adaptive_weights_fn,
     make_distill_step,
@@ -97,27 +96,28 @@ class TaskRunner:
 
     # -- optimizer / state -----------------------------------------------------
     def setup_task_optimizer(self, dataset_size: int, trainable_template: Dict[str, Any]) -> None:
-        """(Re)build the optax chain + compiled steps for a task.
+        """Set the task's schedule horizon; build the optax chain ONCE.
 
         Reproduces the reference's warmup quirk faithfully: the schedule's
         horizon is ceil(batches/accum) * 60 — a constant "60 epochs" —
         regardless of the real max_epochs (vqa_cont_learner.py:62-63), with
-        warmup_perc of that.
+        warmup_perc of that. The horizon lives in ScheduleState inside the
+        optimizer state, so the jitted steps compile once and are reused
+        for every task (recompiling a 400M-param step costs minutes).
         """
         batches_per_epoch = dataset_size // self.config.batch_size
         accum = max(1, self.config.accumulate_grad_batches)
         total_steps = math.ceil(batches_per_epoch / accum) * 60
         warmup_steps = int(self.config.warmup_perc * total_steps)
-        schedule = linear_warmup_schedule(self.config.learning_rate, warmup_steps, total_steps)
         LOGGER.info("schedule: total=%d warmup=%d", total_steps, warmup_steps)
+        self._sched = (warmup_steps, total_steps)
 
-        tx = build_optimizer(self.config, trainable_template, schedule)
-        if accum > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accum)
-        self.tx = tx
-        self.ce_step = make_train_step(self.model_cfg, self.config, tx, attn_impl=self.attn_impl)
-        self._ewc_step = None
-        self._distill_step = None
+        if self.tx is None:
+            tx = build_optimizer(self.config, trainable_template)
+            if accum > 1:
+                tx = optax.MultiSteps(tx, every_k_schedule=accum)
+            self.tx = tx
+            self.ce_step = make_train_step(self.model_cfg, self.config, tx, attn_impl=self.attn_impl)
 
     def ewc_step(self, state, batch, ewc_state):
         if self._ewc_step is None:
@@ -153,6 +153,7 @@ class TaskRunner:
         if self.tx is None:
             raise RuntimeError("call setup_task_optimizer first")
         opt_state = self.tx.init(trainable)
+        opt_state = set_schedule(opt_state, *self._sched)
         frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
         return TrainState(jnp.zeros((), jnp.int32), trainable, frozen, opt_state)
 
