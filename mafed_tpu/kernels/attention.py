@@ -296,9 +296,16 @@ def dot_product_attention(
     head_dim = q.shape[-1]
     scale_f = float((head_dim ** -0.5) if scale is None else scale)
 
-    use_pallas = impl == "pallas" or (impl == "auto" and (_on_tpu() or _INTERPRET))
-    if use_pallas and causal_offset is None:
-        q_len, kv_len = q.shape[2], k.shape[2]
+    q_len, kv_len = q.shape[2], k.shape[2]
+    # Per-shape dispatch (measured on v5e): at VQA lengths (~336 tokens) the
+    # fully-fused XLA softmax-attention is faster than blockwise flash
+    # (the [T, T] tile fits on-chip and XLA fuses it), so "auto" engages the
+    # Pallas kernel only where flash wins: long sequences whose score matrix
+    # would round-trip HBM.
+    wants_pallas = impl == "pallas" or (
+        impl == "auto" and (_on_tpu() or _INTERPRET) and q_len > 512
+    )
+    if wants_pallas and causal_offset is None:
         shapes_ok = head_dim % 128 == 0 or head_dim in (64, 96, 128, 256)
         shapes_ok = shapes_ok and q_len >= 8 and (not causal or kv_len == q_len)
         if shapes_ok:
@@ -307,20 +314,8 @@ def dot_product_attention(
                 if key_padding_mask is not None
                 else jnp.ones((q.shape[0], kv_len), jnp.int32)
             )
-            # short sequences: one lane-aligned block per (b, h) — the
-            # online-softmax loop degenerates to a single exact-softmax pass
-            # in VMEM (no rescaling bookkeeping) at VQA lengths (~336).
-            # Blocks stay multiples of 128: unaligned tiles send the Mosaic
-            # compiler into pathological layouts.
-            def r128(x):
-                return ((x + 127) // 128) * 128
-
-            if q_len <= 512:
-                bq = r128(q_len)
-            else:
-                bq = block_q
-            bk = r128(kv_len) if kv_len <= 1024 else block_k
-            flash = _make_flash(causal, scale_f, bq, bk)
+            bq = min(block_q, ((q_len + 127) // 128) * 128)
+            flash = _make_flash(causal, scale_f, bq, block_k)
             return flash(q, k, v, mask)
         if impl == "pallas":
             raise ValueError(f"unsupported shapes for pallas flash attention: {q.shape} {k.shape}")
