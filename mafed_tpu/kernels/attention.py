@@ -297,14 +297,12 @@ def dot_product_attention(
     scale_f = float((head_dim ** -0.5) if scale is None else scale)
 
     q_len, kv_len = q.shape[2], k.shape[2]
-    # Per-shape dispatch (measured on v5e): at VQA lengths (~336 tokens) the
-    # fully-fused XLA softmax-attention is faster than blockwise flash
-    # (the [T, T] tile fits on-chip and XLA fuses it), so "auto" engages the
-    # Pallas kernel only where flash wins: long sequences whose score matrix
-    # would round-trip HBM.
-    wants_pallas = impl == "pallas" or (
-        impl == "auto" and (_on_tpu() or _INTERPRET) and q_len > 512
-    )
+    # "auto" on TPU = the Pallas flash kernel. XLA's fused attention is ~25%
+    # faster on a pure forward at VQA lengths, but under autodiff it saves
+    # the [B, H, T, T] probabilities as residuals — at the canonical distill
+    # step (student+teacher, 24 layers) that overflows HBM, while the flash
+    # custom-VJP keeps only (o, lse). XLA remains the eval/KV-cache path.
+    wants_pallas = impl == "pallas" or (impl == "auto" and (_on_tpu() or _INTERPRET))
     if wants_pallas and causal_offset is None:
         shapes_ok = head_dim % 128 == 0 or head_dim in (64, 96, 128, 256)
         shapes_ok = shapes_ok and q_len >= 8 and (not causal or kv_len == q_len)
