@@ -138,10 +138,14 @@ def build_inputs(
     *,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    vision_attn_impl: Optional[str] = None,
 ) -> tuple:
     """Vision-first concat of embeddings + extended mask (vl_pythia.py:267-292)."""
     if patch_embeddings is None:
-        patch_embeddings = get_patch_embeddings(params, cfg, pixel_values, dtype=dtype, attn_impl=attn_impl)
+        patch_embeddings = get_patch_embeddings(
+            params, cfg, pixel_values, dtype=dtype,
+            attn_impl=attn_impl if vision_attn_impl is None else vision_attn_impl,
+        )
     vis_embeds = project_vision(params, patch_embeddings, dtype=dtype)
     batch, n_vis = vis_embeds.shape[:2]
     txt_embeds = gpt_neox.embed(params["decoder"], input_ids, dtype=dtype)
@@ -167,11 +171,18 @@ def forward(
     hidden_perturbation: Optional[jax.Array] = None,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    vision_attn_impl: Optional[str] = None,
 ) -> VLPythiaOutput:
-    """Full training/eval forward (no KV cache; see evaluation.decode for that)."""
+    """Full training/eval forward (no KV cache; see evaluation.decode for that).
+
+    vision_attn_impl: the frozen vision tower is never differentiated, so it
+    may use XLA's fused attention (faster forward) while the decoder keeps
+    the flash kernel (whose custom VJP keeps backward memory bounded).
+    """
     inputs_embeds, full_mask = build_inputs(
         params, cfg, input_ids, pixel_values, attention_mask,
         patch_embeddings=patch_embeddings, dtype=dtype, attn_impl=attn_impl,
+        vision_attn_impl=vision_attn_impl,
     )
     if hidden_perturbation is not None:
         inputs_embeds = inputs_embeds + hidden_perturbation[0].astype(inputs_embeds.dtype)

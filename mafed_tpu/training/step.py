@@ -45,9 +45,11 @@ def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat
     pixel_values = _prep_pixels(batch, cfg, dtype)
 
     def fwd(params, input_ids, pixel_values, attention_mask, labels):
+        # frozen vision tower -> XLA fused attention (faster fwd, no
+        # residuals since it sits behind stop_gradient)
         return vl_pythia.forward(
             params, cfg, input_ids, pixel_values, attention_mask, labels,
-            dtype=dtype, attn_impl=attn_impl,
+            dtype=dtype, attn_impl=attn_impl, vision_attn_impl="xla",
         ).loss
 
     if remat:
@@ -226,8 +228,9 @@ def make_distill_step(
         def loss_fn(trainable):
             params = merge_params(trainable, state.frozen)
             pixel_values = _prep_pixels(batch, model_cfg, dtype)
-            # vision runs ONCE; both passes share the frozen features
-            patches = vl_pythia.get_patch_embeddings(params, model_cfg, pixel_values, dtype=dtype, attn_impl=attn_impl)
+            # vision runs ONCE; both passes share the frozen features.
+            # frozen/undifferentiated -> XLA fused attention
+            patches = vl_pythia.get_patch_embeddings(params, model_cfg, pixel_values, dtype=dtype, attn_impl="xla")
 
             student = vl_pythia.forward(
                 params, model_cfg, batch["input_ids"], None,
@@ -236,11 +239,13 @@ def make_distill_step(
                 dtype=dtype, attn_impl=attn_impl,
             )
             teacher_params = merge_params(teacher_trainable, state.frozen)
+            # teacher is frozen (stop_gradient): XLA attention's faster
+            # forward applies; no residuals are kept for it
             teacher = vl_pythia.forward(
                 jax.lax.stop_gradient(teacher_params), model_cfg,
                 batch["input_ids"], None, batch["attention_mask"], None,
                 patch_embeddings=patches, output_hidden_states=True,
-                dtype=dtype, attn_impl=attn_impl,
+                dtype=dtype, attn_impl="xla",
             )
             t_hs = jax.lax.stop_gradient(teacher.hidden_states)
 
