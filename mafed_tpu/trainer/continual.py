@@ -168,6 +168,7 @@ class ContinualLearningTrainer:
                 self.runner.setup_task_optimizer(len(train_dataset), trainable)
                 state = self.runner.init_state(params)
                 strategy.update_after_new_task(self.runner, state, train_dataset)
+                resume_dir = os.path.join(cfg.output_dir, "resume")
                 state, best_trainable, fit_log = self.runner.fit(
                     state,
                     strategy,
@@ -175,6 +176,8 @@ class ContinualLearningTrainer:
                     self.val_loaders[task],
                     task_id,
                     self._epochs_for(task_id),
+                    resume_dir=resume_dir,
+                    resume=bool(cfg.resume_from_checkpoint),
                 )
                 self.metrics.set_global_step_offset(
                     self.metrics.global_step_offset + fit_log["global_step"]

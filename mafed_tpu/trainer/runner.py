@@ -11,6 +11,7 @@ top-1 best-checkpoint saving (train.py:243-263).
 from __future__ import annotations
 
 import math
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -157,6 +158,57 @@ class TaskRunner:
         frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
         return TrainState(jnp.zeros((), jnp.int32), trainable, frozen, opt_state)
 
+    # -- resume bundles ----------------------------------------------------------
+    # Epoch-granular mid-task resume (parity: PL resume_from_checkpoint,
+    # train.py:323). A bundle = model safetensors + orbax opt state + fit
+    # bookkeeping; saved each epoch, restored when config.resume_from_checkpoint
+    # points at the bundle directory.
+
+    def _save_resume_bundle(self, resume_dir: str, state: TrainState, meta: Dict[str, Any], best_trainable) -> None:
+        import json
+        import shutil
+
+        import orbax.checkpoint as ocp
+
+        from mafed_tpu.training.train_state import merge_params
+        from mafed_tpu.utils.checkpoint import save_task_checkpoint
+
+        os.makedirs(resume_dir, exist_ok=True)
+        save_task_checkpoint(merge_params(state.trainable, state.frozen), self.model_cfg, os.path.join(resume_dir, "model.safetensors"))
+        if best_trainable is not None:
+            save_task_checkpoint(merge_params(best_trainable, state.frozen), self.model_cfg, os.path.join(resume_dir, "best.safetensors"))
+        opt_path = os.path.abspath(os.path.join(resume_dir, "opt_state"))
+        if os.path.exists(opt_path):
+            shutil.rmtree(opt_path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(opt_path, state.opt_state)
+        ckptr.wait_until_finished()
+        with open(os.path.join(resume_dir, "fit_state.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _load_resume_bundle(self, resume_dir: str, state: TrainState):
+        import json
+
+        import orbax.checkpoint as ocp
+
+        from mafed_tpu.training.train_state import split_params
+        from mafed_tpu.utils.checkpoint import load_task_checkpoint
+
+        with open(os.path.join(resume_dir, "fit_state.json")) as f:
+            meta = json.load(f)
+        params = load_task_checkpoint(os.path.join(resume_dir, "model.safetensors"), self.model_cfg)
+        trainable, _ = split_params(params)
+        ckptr = ocp.StandardCheckpointer()
+        opt_state = ckptr.restore(os.path.abspath(os.path.join(resume_dir, "opt_state")), state.opt_state)
+        best_trainable = None
+        best_path = os.path.join(resume_dir, "best.safetensors")
+        if os.path.exists(best_path):
+            best_params = load_task_checkpoint(best_path, self.model_cfg)
+            best_trainable, _ = split_params(best_params)
+            best_trainable = jax.tree.map(np.asarray, best_trainable)
+        new_state = TrainState(jnp.asarray(meta["global_step"], jnp.int32), trainable, state.frozen, opt_state)
+        return new_state, meta, best_trainable
+
     # -- fit -------------------------------------------------------------------
     def fit(
         self,
@@ -166,6 +218,8 @@ class TaskRunner:
         val_loader,
         task_id: int,
         epochs: int,
+        resume_dir: Optional[str] = None,
+        resume: bool = False,
     ) -> Tuple[TrainState, Dict[str, Any], Dict]:
         """Train one task with early stopping; returns (state, best_params, log)."""
         loader = self.make_train_loader(train_dataset, shuffle=True, seed=self.config.seed + task_id)
@@ -174,8 +228,19 @@ class TaskRunner:
         wait = 0
         global_step = 0
         history = []
+        start_epoch = 0
 
-        for epoch in range(epochs):
+        if resume and resume_dir and os.path.exists(os.path.join(resume_dir, "fit_state.json")):
+            state, meta, best_trainable = self._load_resume_bundle(resume_dir, state)
+            if meta.get("task_id") == task_id:
+                start_epoch = meta["epoch"] + 1
+                best_acc = meta["best_acc"]
+                wait = meta["wait"]
+                global_step = meta["global_step"]
+                history = meta.get("history", [])
+                LOGGER.info("resuming task %d at epoch %d", task_id, start_epoch)
+
+        for epoch in range(start_epoch, epochs):
             epoch_start = time.time()
             n_seen = 0
             loader.set_epoch(epoch)
@@ -223,6 +288,15 @@ class TaskRunner:
             if acc > best_acc:
                 best_acc = acc
                 best_trainable = jax.tree.map(lambda x: np.asarray(x), state.trainable)
+            if resume_dir:
+                self._save_resume_bundle(
+                    resume_dir, state,
+                    {
+                        "task_id": task_id, "epoch": epoch, "best_acc": best_acc,
+                        "wait": wait, "global_step": global_step, "history": history,
+                    },
+                    best_trainable,
+                )
             if wait >= self.config.patience:
                 LOGGER.info("early stopping at epoch %d (patience %d)", epoch, self.config.patience)
                 break

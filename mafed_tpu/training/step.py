@@ -349,7 +349,9 @@ def make_adaptive_weights_fn(
         pixel_values = _prep_pixels(batch, model_cfg, dtype)
         b, t = batch["input_ids"].shape
         full_t = n_vis + t
-        pert0 = jnp.zeros((n_layers_total, b, full_t, model_cfg.hidden_size), jnp.float32)
+        # bf16 perturbation halves the [L, B, T, H] primal+cotangent buffers;
+        # the norms are reduced in f32 below
+        pert0 = jnp.zeros((n_layers_total, b, full_t, model_cfg.hidden_size), dtype)
 
         def loss_of_pert(pert):
             out = vl_pythia.forward(
@@ -360,7 +362,7 @@ def make_adaptive_weights_fn(
             return out.loss
 
         grads = jax.grad(loss_of_pert)(pert0)  # [L, B, T, H] = dL/d hs[0..L-1]
-        sel = jnp.stack([grads[l] for l in layers])  # [Ld, B, T, H]
+        sel = jnp.stack([grads[l] for l in layers]).astype(jnp.float32)  # [Ld, B, T, H]
         gnorm = jnp.linalg.norm(sel, axis=-1)  # [Ld, B, T]
         lang_mask, image_mask = modality_masks(batch["attention_mask"], n_vis)
         lm = lang_mask.astype(jnp.float32)[None]
