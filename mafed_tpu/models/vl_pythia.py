@@ -172,12 +172,20 @@ def forward(
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     vision_attn_impl: Optional[str] = None,
+    loss_only: bool = False,
+    need_logits: bool = True,
 ) -> VLPythiaOutput:
     """Full training/eval forward (no KV cache; see evaluation.decode for that).
 
     vision_attn_impl: the frozen vision tower is never differentiated, so it
     may use XLA's fused attention (faster forward) while the decoder keeps
     the flash kernel (whose custom VJP keeps backward memory bounded).
+
+    loss_only (training fast path): project embed_out only over the last
+    label_len positions — the loss slices logits there anyway
+    (vl_pythia.py:89), and the full [B, T, 50304] projection (fwd+bwd) plus
+    its activation is ~4x the needed work at VQA shapes. Returned logits
+    then cover only those positions.
     """
     inputs_embeds, full_mask = build_inputs(
         params, cfg, input_ids, pixel_values, attention_mask,
@@ -197,7 +205,13 @@ def forward(
         dtype=dtype, attn_impl=attn_impl,
         layer_perturbation=layer_pert,
     )
-    lm_logits = gpt_neox.logits(params["decoder"], dec["last_hidden_state"], dtype=dtype)
+    hidden = dec["last_hidden_state"]
+    if not need_logits and labels is None:
+        # e.g. the distillation teacher: only hidden_states are consumed
+        return VLPythiaOutput(loss=None, logits=None, hidden_states=dec.get("hidden_states"), cache=None)
+    if loss_only and labels is not None:
+        hidden = hidden[:, -labels.shape[1]:]
+    lm_logits = gpt_neox.logits(params["decoder"], hidden, dtype=dtype)
     loss = compute_loss(labels, lm_logits) if labels is not None else None
     return VLPythiaOutput(
         loss=loss,

@@ -50,6 +50,7 @@ def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat
         return vl_pythia.forward(
             params, cfg, input_ids, pixel_values, attention_mask, labels,
             dtype=dtype, attn_impl=attn_impl, vision_attn_impl="xla",
+            loss_only=True,
         ).loss
 
     if remat:
@@ -236,7 +237,7 @@ def make_distill_step(
                 params, model_cfg, batch["input_ids"], None,
                 batch["attention_mask"], batch.get("labels") if replay_coeff > 0 else None,
                 patch_embeddings=patches, output_hidden_states=True,
-                dtype=dtype, attn_impl=attn_impl,
+                dtype=dtype, attn_impl=attn_impl, loss_only=True,
             )
             teacher_params = merge_params(teacher_trainable, state.frozen)
             # teacher is frozen (stop_gradient): XLA attention's faster
@@ -245,7 +246,7 @@ def make_distill_step(
                 jax.lax.stop_gradient(teacher_params), model_cfg,
                 batch["input_ids"], None, batch["attention_mask"], None,
                 patch_embeddings=patches, output_hidden_states=True,
-                dtype=dtype, attn_impl="xla",
+                dtype=dtype, attn_impl="xla", need_logits=False,
             )
             t_hs = jax.lax.stop_gradient(teacher.hidden_states)
 
@@ -358,6 +359,7 @@ def make_adaptive_weights_fn(
                 params, model_cfg, batch["input_ids"], pixel_values,
                 batch["attention_mask"], batch["labels"],
                 hidden_perturbation=pert, dtype=dtype, attn_impl=attn_impl,
+                vision_attn_impl="xla", loss_only=True,
             )
             return out.loss
 
