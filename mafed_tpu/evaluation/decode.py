@@ -45,6 +45,8 @@ def make_greedy_decoder(
         inputs_embeds, full_mask = vl_pythia.build_inputs(
             params, model_cfg, input_ids, pixel_values, attention_mask,
             dtype=dtype, attn_impl=attn_impl,
+            # inference-only vision pass: XLA fused attention is fastest here
+            vision_attn_impl="xla" if attn_impl == "auto" else attn_impl,
         )
         prefix_len = inputs_embeds.shape[1]  # n_vision_tokens + txt_len
         max_len = prefix_len + max_new_tokens

@@ -47,6 +47,19 @@ def load_task_checkpoint(path: str, model_cfg: ModelConfig) -> Dict[str, Any]:
     return convert_vl_state_dict(sd, model_cfg)
 
 
+def get_checkpoint_path(task_id: int, task: str, checkpoint_dir: str, extension: str = ".safetensors") -> str:
+    """Resolve a task's best checkpoint with the reference's task-0 fallback
+    (eval_utils.py:18-26): when the first task's checkpoint is missing from a
+    method-suffixed run dir, fall back to the base run's ckpt/ directory."""
+    import re
+
+    best_model = os.path.join(checkpoint_dir, f"{task}_best{extension}")
+    if task_id == 0 and not os.path.exists(best_model):
+        root = re.split("_ewc|_lwf|_er|_ps_|_der_|_agem|_replay|_featdistill", checkpoint_dir)[0]
+        best_model = os.path.join(root, f"ckpt/{task}_best{os.path.splitext(best_model)[-1]}")
+    return best_model
+
+
 def get_initialization_checkpoint(config: TrainConfig, task_id: int = 0) -> Optional[str]:
     """Checkpoint to initialize the first task (utils/checkpoint.py:32-41)."""
     if task_id != 0:
