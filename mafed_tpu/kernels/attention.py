@@ -221,13 +221,241 @@ def _flash_forward(
     return out, lse
 
 
+# ---------------------------------------------------------------------------
+# Pallas flash attention backward kernels
+# ---------------------------------------------------------------------------
+
+def _flash_bwd_dkv_kernel(
+    mask_ref,   # [1, 1, pk]
+    q_ref,      # [1, pq, d]
+    k_ref,      # [1, bk, d]   (this program's key block)
+    v_ref,      # [1, bk, d]
+    do_ref,     # [1, pq, d]
+    lse_ref,    # [1, pq, 1] f32
+    delta_ref,  # [1, pq, 1] f32  rowsum(do * o)
+    dk_ref,     # [1, bk, d]
+    dv_ref,     # [1, bk, d]
+    *,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    q_len: int,
+    use_mask: bool,
+):
+    from jax.experimental import pallas as pl
+
+    ki = pl.program_id(1)
+    block_k = k_ref.shape[1]
+    d = k_ref.shape[2]
+    k_start = ki * block_k
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    kp = mask_ref[0, 0, pl.ds(k_start, block_k)] > 0 if use_mask else None
+
+    num_q_blocks = pl.cdiv(q_len, block_q)
+    # causal: rows with q_pos < k_start contribute nothing to this key block
+    first_q = jax.lax.div(k_start, block_q) if causal else 0
+
+    def body(qi, carry):
+        dk_acc, dv_acc = carry
+        q_start = qi * block_q
+        q_b = q_ref[0, pl.ds(q_start, block_q), :]
+        do_b = do_ref[0, pl.ds(q_start, block_q), :]
+        lse_b = lse_ref[0, pl.ds(q_start, block_q), 0]
+        delta_b = delta_ref[0, pl.ds(q_start, block_q), 0]
+
+        s = jnp.dot(q_b, k_blk.T, preferred_element_type=jnp.float32) * scale
+        keep = jnp.ones((block_q, block_k), bool)
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            keep = keep & (cols <= rows)
+        if use_mask:
+            keep = keep & kp[None, :]
+        # lse = +inf for empty rows -> p = 0 there
+        p = jnp.exp(s - lse_b[:, None]) * keep.astype(jnp.float32)
+
+        p_lp = p.astype(do_b.dtype)
+        dv_acc = dv_acc + jnp.dot(p_lp.T, do_b, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_b, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_b[:, None])
+        ds_lp = ds.astype(q_b.dtype)
+        dk_acc = dk_acc + jnp.dot(ds_lp.T, q_b, preferred_element_type=jnp.float32) * scale
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((block_k, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(first_q, num_q_blocks, body, (zeros, zeros))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    mask_ref,   # [1, 1, pk]
+    q_ref,      # [1, bq, d]  (this program's query block)
+    k_ref,      # [1, pk, d]
+    v_ref,      # [1, pk, d]
+    do_ref,     # [1, bq, d]
+    lse_ref,    # [1, bq, 1]
+    delta_ref,  # [1, bq, 1]
+    dq_ref,     # [1, bq, d]
+    *,
+    causal: bool,
+    scale: float,
+    block_k: int,
+    kv_len: int,
+    use_mask: bool,
+):
+    from jax.experimental import pallas as pl
+
+    qi = pl.program_id(1)
+    block_q = q_ref.shape[1]
+    d = q_ref.shape[2]
+    q_start = qi * block_q
+    q_b = q_ref[0]
+    do_b = do_ref[0]
+    lse_b = lse_ref[0, :, 0]
+    delta_b = delta_ref[0, :, 0]
+
+    num_k_blocks = pl.cdiv(kv_len, block_k)
+    if causal:
+        last_block = jax.lax.div(q_start + block_q - 1, block_k) + 1
+        upper = jnp.minimum(last_block, num_k_blocks)
+    else:
+        upper = num_k_blocks
+
+    def body(ki, dq_acc):
+        k_start = ki * block_k
+        k_blk = k_ref[0, pl.ds(k_start, block_k), :]
+        v_blk = v_ref[0, pl.ds(k_start, block_k), :]
+        s = jnp.dot(q_b, k_blk.T, preferred_element_type=jnp.float32) * scale
+        keep = jnp.ones((block_q, block_k), bool)
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            keep = keep & (cols <= rows)
+        if use_mask:
+            kp = mask_ref[0, 0, pl.ds(k_start, block_k)] > 0
+            keep = keep & kp[None, :]
+        p = jnp.exp(s - lse_b[:, None]) * keep.astype(jnp.float32)
+        dp = jnp.dot(do_b, v_blk.T, preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta_b[:, None])).astype(k_blk.dtype)
+        return dq_acc + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32) * scale
+
+    dq_acc = jax.lax.fori_loop(0, upper, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = dq_acc.astype(dq_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, mask, out, lse, g,
+    *, causal: bool, scale: float, block_q: int, block_k: int,
+):
+    """Blockwise flash backward: dq via a q-block grid, dk/dv via a k-block
+    grid; delta = rowsum(do * o) precomputed in XLA. No [T, T] tensor ever
+    touches HBM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, heads, q_len, d = q.shape
+    kv_len = k.shape[2]
+    q_pad = (-q_len) % block_q
+    k_pad = (-kv_len) % block_k
+    pq, pk = q_len + q_pad, kv_len + k_pad
+
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [b,h,q]
+
+    def padq(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, q_pad), (0, 0))) if q_pad else x
+
+    def padk(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, k_pad), (0, 0))) if k_pad else x
+
+    bh = batch * heads
+    qm = padq(q).reshape(bh, pq, d)
+    km = padk(k).reshape(bh, pk, d)
+    vm = padk(v).reshape(bh, pk, d)
+    gm = padq(g).reshape(bh, pq, d)
+    # pad lse with +inf so padded rows produce p = 0 in both kernels
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, q_pad)), constant_values=jnp.inf) if q_pad else lse
+    lsem = lse_p.reshape(bh, pq, 1)
+    delta_p = jnp.pad(delta, ((0, 0), (0, 0), (0, q_pad))) if q_pad else delta
+    deltam = delta_p.astype(jnp.float32).reshape(bh, pq, 1)
+    maskm = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, k_pad))) if k_pad else mask.astype(jnp.int32)
+    maskm = jnp.repeat(maskm, heads, axis=0)[:, None, :]
+
+    params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
+
+    dkv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel,
+            causal=causal, scale=scale, block_q=block_q, q_len=pq, use_mask=True,
+        ),
+        grid=(bh, pk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, pk), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, pq, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, pq, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, pq, 1), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, pq, 1), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, pk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, pk, d), v.dtype),
+        ),
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(maskm, qm, km, vm, gm, lsem, deltam)
+    dk, dv = dkv
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel,
+            causal=causal, scale=scale, block_k=block_k, kv_len=pk, use_mask=True,
+        ),
+        grid=(bh, pq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, pk), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, pk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, pk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, pq, d), q.dtype),
+        compiler_params=params,
+        interpret=_INTERPRET,
+    )(maskm, qm, km, vm, gm, lsem, deltam)
+
+    dq = dq.reshape(batch, heads, pq, d)[:, :, :q_len]
+    dk = dk.reshape(batch, heads, pk, d)[:, :, :kv_len]
+    dv = dv.reshape(batch, heads, pk, d)[:, :, :kv_len]
+    return dq, dk, dv
+
+
+# backward implementation: "auto" = XLA recompute for short sequences (its
+# [T, T] transients are cheap and measured faster at VQA lengths), pallas
+# blockwise beyond 1024 keys (where XLA's transients are multi-GB);
+# "always"/"never" force one side (tests use "always").
+_PALLAS_BWD_MODE = "auto"
+_PALLAS_BWD_KV_THRESHOLD = 1024
+
+
 @functools.lru_cache(maxsize=32)
 def _make_flash(causal: bool, scale: float, block_q: int, block_k: int):
-    """Differentiable flash attention: pallas forward, recompute backward.
+    """Differentiable flash attention: pallas forward AND backward.
 
-    Backward uses the saved (o, lse) residuals and recomputes the masked
-    score matrix blockwise via XLA (at VQA sequence lengths ~336 the [T,T]
-    recompute is cheap and fuses well); grads:
+    Backward recomputes the masked probabilities blockwise from the saved
+    (o, lse) residuals — two pallas kernels (dk/dv over key blocks, dq over
+    query blocks); delta = rowsum(do*o) in XLA. With _USE_PALLAS_BWD=False
+    an XLA einsum backward (materializing [T, T] transiently) is used
+    instead:
         p  = exp(s - lse)
         dv = p^T do
         ds = p * (do v^T - rowsum(do * o))
@@ -245,6 +473,15 @@ def _make_flash(causal: bool, scale: float, block_q: int, block_k: int):
 
     def bwd(res, g):
         q, k, v, mask, out, lse = res
+        use_pallas_bwd = _PALLAS_BWD_MODE == "always" or (
+            _PALLAS_BWD_MODE == "auto" and k.shape[2] > _PALLAS_BWD_KV_THRESHOLD
+        )
+        if use_pallas_bwd:
+            dq, dk, dv = _flash_backward(
+                q, k, v, mask, out, lse, g,
+                causal=causal, scale=scale, block_q=block_q, block_k=block_k,
+            )
+            return dq, dk, dv, None
         q_len, k_len = q.shape[2], k.shape[2]
         q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
         g32, o32 = g.astype(jnp.float32), out.astype(jnp.float32)

@@ -13,8 +13,10 @@ from mafed_tpu.kernels.attention import dot_product_attention, xla_attention
 @pytest.fixture(autouse=True)
 def interpret_mode():
     attn_mod._INTERPRET = True
+    attn_mod._PALLAS_BWD_MODE = "always"  # exercise the pallas bwd kernels
     yield
     attn_mod._INTERPRET = False
+    attn_mod._PALLAS_BWD_MODE = "auto"
 
 
 @pytest.mark.parametrize("causal", [False, True])
