@@ -1,0 +1,59 @@
+"""Analytic FLOPs accounting + MFU.
+
+The reference relies on the HF trainer's floating-point-operations counter
+(trainer/hf.py:471,585-586); here the model is static enough to account
+analytically, which also gives MFU against the chip's peak.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from mafed_tpu.core.config import ModelConfig
+
+TPU_PEAK_FLOPS = {
+    "v5e": 197e12,  # bf16
+    "v5p": 459e12,
+    "v4": 275e12,
+}
+
+
+def decoder_flops_per_token(cfg: ModelConfig) -> float:
+    """Forward matmul FLOPs per token (2*MACs), attention excluded."""
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    per_layer = 2 * (4 * h * h + 2 * h * inter)
+    return cfg.num_hidden_layers * per_layer
+
+
+def attention_flops(cfg: ModelConfig, seq_len: int) -> float:
+    """Forward attention FLOPs for one sequence (causal ~ /2 but we count full)."""
+    return cfg.num_hidden_layers * 4 * seq_len * seq_len * cfg.hidden_size
+
+
+def vision_flops_per_image(cfg: ModelConfig) -> float:
+    v = cfg.vision
+    tokens = v.num_patches + (1 if v.class_token else 0)
+    hidden = int(v.embed_dim * v.mlp_ratio)
+    mlps = 3 if v.swiglu_mlp else 2
+    per_layer = 2 * (4 * v.embed_dim ** 2 + mlps * v.embed_dim * hidden)
+    blocks = v.depth * (per_layer * tokens + 4 * tokens * tokens * v.embed_dim)
+    patch_embed = 2 * tokens * (v.patch_size ** 2 * 3) * v.embed_dim
+    return blocks + patch_embed
+
+
+def lm_head_flops(cfg: ModelConfig, positions: int) -> float:
+    return 2 * positions * cfg.hidden_size * cfg.vocab_size
+
+
+def distill_step_flops_per_example(cfg: ModelConfig, text_len: int) -> float:
+    """Fused student+teacher step: student fwd+bwd (3x fwd) + teacher fwd
+    (1x) + ONE shared vision fwd + projector, per example."""
+    seq = cfg.vision.num_patches + text_len
+    dec_fwd = decoder_flops_per_token(cfg) * seq + attention_flops(cfg, seq)
+    head = lm_head_flops(cfg, text_len)
+    proj = 2 * cfg.vision.num_patches * (cfg.vision.embed_dim * cfg.hidden_size + cfg.hidden_size ** 2)
+    return 3 * (dec_fwd + head) + (dec_fwd) + vision_flops_per_image(cfg) + proj
+
+
+def mfu(examples_per_sec: float, flops_per_example: float, chip: str = "v5e") -> float:
+    return examples_per_sec * flops_per_example / TPU_PEAK_FLOPS[chip]

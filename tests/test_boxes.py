@@ -1,0 +1,74 @@
+"""Box/geometry utilities."""
+
+import numpy as np
+import pytest
+
+from mafed_tpu.utils.boxes import (
+    BoxMode,
+    Boxes,
+    ObjectCenterCrop,
+    pairwise_iou,
+    patchify_image,
+    quantize_bbox,
+)
+
+
+def test_boxmode_roundtrip():
+    xyxy = np.array([[10.0, 20.0, 50.0, 80.0]])
+    xywh = BoxMode.convert(xyxy, BoxMode.XYXY_ABS, BoxMode.XYWH_ABS)
+    np.testing.assert_allclose(xywh, [[10, 20, 40, 60]])
+    back = BoxMode.convert(xywh, BoxMode.XYWH_ABS, BoxMode.XYXY_ABS)
+    np.testing.assert_allclose(back, xyxy)
+    rel = BoxMode.convert(xyxy, BoxMode.XYXY_ABS, BoxMode.XYXY_REL, image_size=(100, 200))
+    np.testing.assert_allclose(rel, [[0.05, 0.2, 0.25, 0.8]])
+
+
+def test_iou():
+    a = Boxes([[0, 0, 10, 10]])
+    b = Boxes([[5, 5, 15, 15], [20, 20, 30, 30]])
+    iou = pairwise_iou(a, b)
+    np.testing.assert_allclose(iou, [[25 / 175, 0.0]])
+
+
+def test_boxes_clip_area_nonempty():
+    b = Boxes([[-5, -5, 10, 10], [3, 3, 3, 3]])
+    clipped = b.clip((8, 8))
+    np.testing.assert_allclose(clipped.tensor[0], [0, 0, 8, 8])
+    assert list(b.nonempty()) == [True, False]
+    np.testing.assert_allclose(b.area(), [225, 0])
+
+
+def test_quantize_bbox():
+    q = quantize_bbox([0, 0, 100, 50], image_size=(100, 200), num_bins=10)
+    np.testing.assert_array_equal(q, [[0, 0, 5, 5]])
+
+
+def test_patchify_image():
+    img = np.arange(2 * 3 * 4 * 4).reshape(2, 3, 4, 4).astype(np.float32)
+    patches = patchify_image(img, {"height": 2, "width": 2})
+    assert patches.shape == (2, 4, 12)
+    # first patch = top-left 2x2 of each channel
+    np.testing.assert_allclose(patches[0, 0], img[0, :, :2, :2].transpose(1, 2, 0).reshape(-1))
+
+
+def test_object_center_crop_geometry():
+    crop = ObjectCenterCrop((100, 100))
+    # centered object fully inside
+    top, left, ch, cw = crop.crop_window((400, 300), [150, 100, 250, 200])
+    assert (top, left) == (100, 150)
+    # object near origin clamps at 0
+    top, left, _, _ = crop.crop_window((400, 300), [0, 0, 20, 20])
+    assert (top, left) == (0, 0)
+    # object near the far corner shifts window inward
+    top, left, _, _ = crop.crop_window((400, 300), [380, 280, 400, 300])
+    assert left + 100 <= 400 and top + 100 <= 300
+
+
+def test_flops_and_mfu():
+    from mafed_tpu.core.config import ModelConfig
+    from mafed_tpu.training.flops import distill_step_flops_per_example, mfu
+
+    cfg = ModelConfig()
+    fl = distill_step_flops_per_example(cfg, text_len=80)
+    assert 1e12 < fl < 1e13  # ~ a few TFLOP per example at 410M
+    assert 0 < mfu(59.0, fl) < 1.0
