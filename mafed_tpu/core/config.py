@@ -204,10 +204,12 @@ class TrainConfig:
     mesh_axis_names: list = field(default_factory=lambda: ["data", "model"])
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    adam_mu_dtype: Optional[str] = None  # "bfloat16" halves first-moment memory (1B scale)
     text_pad_multiple: int = 16  # bucket question lengths for shape stability
     val_max_batches: Optional[int] = None
     remat: bool = False
     log_every: int = 50
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace of steps 10-20
 
     def replace(self, **kwargs: Any) -> "TrainConfig":
         return dataclasses.replace(self, **kwargs)

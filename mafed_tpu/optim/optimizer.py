@@ -114,11 +114,12 @@ def build_optimizer(
     wd = config.weight_decay
     top_mask, decay_mask = param_group_masks(params)
 
+    mu_dtype = getattr(config, "adam_mu_dtype", None)
     if config.optim == "adamw":
-        scale = optax.scale_by_adam(b1=b1, b2=b2, eps=1e-6)
+        scale = optax.scale_by_adam(b1=b1, b2=b2, eps=1e-6, mu_dtype=mu_dtype)
         decoupled_wd = True
     elif config.optim == "adam":
-        scale = optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8)
+        scale = optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8, mu_dtype=mu_dtype)
         decoupled_wd = False
     elif config.optim == "adamax":
         scale = optax.scale_by_adamax(b1=b1, b2=b2, eps=1e-8)

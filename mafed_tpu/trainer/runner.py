@@ -245,10 +245,16 @@ class TaskRunner:
             n_seen = 0
             loader.set_epoch(epoch)
             for batch_idx, batch in enumerate(self.device_batches(loader)):
+                if self.config.profile_dir and task_id == 0 and epoch == 0 and batch_idx == 10:
+                    jax.profiler.start_trace(self.config.profile_dir)
                 if strategy.is_replay_batch(batch_idx):
                     state, m = strategy.replay_step(self, state)
                 else:
                     state, m = strategy.train_step(self, state, batch)
+                if self.config.profile_dir and task_id == 0 and epoch == 0 and batch_idx == 20:
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
+                    LOGGER.info("profiler trace written to %s", self.config.profile_dir)
                 n_seen += self.config.batch_size
                 global_step += 1
                 if self.metrics is not None and global_step % self.config.log_every == 0:
