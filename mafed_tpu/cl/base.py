@@ -10,8 +10,6 @@ program.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
-
 
 class CLStrategy:
     """Base strategy: hooks are no-ops; loss is the task CE loss."""

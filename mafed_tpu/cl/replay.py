@@ -11,7 +11,7 @@ the same distribution without iterator-restart overhead).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -8,7 +8,7 @@ and a batched validation loop. Metric reduction across a mesh uses psum
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,13 +13,12 @@ filled with pad (= eos for Pythia), so decoded text is identical.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 
-from mafed_tpu.constants import MAX_NEW_TOKENS, NUM_VISION_TOKENS
+from mafed_tpu.constants import MAX_NEW_TOKENS
 from mafed_tpu.core.config import ModelConfig
 from mafed_tpu.data.images import prep_pixels
 from mafed_tpu.models import gpt_neox, vl_pythia

@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from mafed_tpu.core.config import ModelConfig
 from mafed_tpu.core.logging import LOGGER
