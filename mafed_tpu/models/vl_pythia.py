@@ -174,6 +174,7 @@ def forward(
     vision_attn_impl: Optional[str] = None,
     loss_only: bool = False,
     need_logits: bool = True,
+    num_layers: Optional[int] = None,
 ) -> VLPythiaOutput:
     """Full training/eval forward (no KV cache; see evaluation.decode for that).
 
@@ -186,12 +187,18 @@ def forward(
     (vl_pythia.py:89), and the full [B, T, 50304] projection (fwd+bwd) plus
     its activation is ~4x the needed work at VQA shapes. Returned logits
     then cover only those positions.
+
+    num_layers: early-exit the decoder after this many blocks (teacher fast
+    path — distillation never reads hidden_states beyond index L-2; see
+    gpt_neox.apply). Requires need_logits=False and labels=None.
     """
     inputs_embeds, full_mask = build_inputs(
         params, cfg, input_ids, pixel_values, attention_mask,
         patch_embeddings=patch_embeddings, dtype=dtype, attn_impl=attn_impl,
         vision_attn_impl=vision_attn_impl,
     )
+    if num_layers is not None and (need_logits or labels is not None):
+        raise ValueError("num_layers truncation skips the final LN: logits/loss unavailable")
     if hidden_perturbation is not None:
         inputs_embeds = inputs_embeds + hidden_perturbation[0].astype(inputs_embeds.dtype)
         layer_pert = hidden_perturbation[1:]
@@ -204,6 +211,7 @@ def forward(
         output_hidden_states=output_hidden_states or layer_pert is not None,
         dtype=dtype, attn_impl=attn_impl,
         layer_perturbation=layer_pert,
+        num_layers=num_layers,
     )
     hidden = dec["last_hidden_state"]
     if not need_logits and labels is None:

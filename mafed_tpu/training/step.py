@@ -232,20 +232,28 @@ def make_distill_step(
             # frozen/undifferentiated -> XLA fused attention
             patches = vl_pythia.get_patch_embeddings(params, model_cfg, pixel_values, dtype=dtype, attn_impl="xla")
 
+            # without replay CE the student's logits and last two blocks are
+            # never read either — same early exit as the teacher
             student = vl_pythia.forward(
                 params, model_cfg, batch["input_ids"], None,
                 batch["attention_mask"], batch.get("labels") if replay_coeff > 0 else None,
                 patch_embeddings=patches, output_hidden_states=True,
                 dtype=dtype, attn_impl=attn_impl, loss_only=True,
+                need_logits=replay_coeff > 0,
+                num_layers=None if replay_coeff > 0 else max(layers_arr),
             )
             teacher_params = merge_params(teacher_trainable, state.frozen)
             # teacher is frozen (stop_gradient): XLA attention's faster
-            # forward applies; no residuals are kept for it
+            # forward applies; no residuals are kept for it. Early-exit after
+            # the deepest distilled tap — hidden_states beyond max(layers)
+            # are never read (the reference runs the full teacher and drops
+            # them, distillation.py:105-122).
             teacher = vl_pythia.forward(
                 jax.lax.stop_gradient(teacher_params), model_cfg,
                 batch["input_ids"], None, batch["attention_mask"], None,
                 patch_embeddings=patches, output_hidden_states=True,
                 dtype=dtype, attn_impl="xla", need_logits=False,
+                num_layers=max(layers_arr),
             )
             t_hs = jax.lax.stop_gradient(teacher.hidden_states)
 

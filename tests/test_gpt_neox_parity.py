@@ -141,3 +141,31 @@ def test_kv_cache_matches_full_forward():
     step = np.concatenate(pieces, axis=1)
     valid = mask.astype(bool)
     np.testing.assert_allclose(step[valid], np.asarray(full)[valid], atol=2e-4, rtol=1e-3)
+
+
+def test_num_layers_truncation_matches_full_prefix():
+    """Teacher early exit: hs[0..k] of a k-layer truncated run equal the full
+    run's prefix (the post-final-LN overwrite only touches the full run's
+    last entry, which truncation never reaches)."""
+    import jax
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=48,
+    )
+    params = gpt_neox.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(rng.normal(size=(2, 7, 32)).astype(np.float32))
+    mask = jnp.asarray(np.ones((2, 7), np.int32))
+
+    full = gpt_neox.apply(
+        params, cfg, embeds, attention_mask=mask, output_hidden_states=True,
+        dtype=jnp.float32, attn_impl="xla",
+    )["hidden_states"]
+    k = 2
+    trunc = gpt_neox.apply(
+        params, cfg, embeds, attention_mask=mask, output_hidden_states=True,
+        dtype=jnp.float32, attn_impl="xla", num_layers=k,
+    )["hidden_states"]
+    assert trunc.shape[0] == k + 1
+    np.testing.assert_allclose(np.asarray(trunc), np.asarray(full[: k + 1]), atol=1e-6)
