@@ -262,8 +262,14 @@ def make_distill_step(
                 loss = loss + replay_coeff * student.loss
 
             if distill_coeff != 0:
-                s_sel = jnp.stack([student.hidden_states[l] for l in layers_arr])  # [Ld, B, T, H]
-                t_sel = jnp.stack([t_hs[l] for l in layers_arr])
+                if layers_arr == tuple(range(len(layers_arr))):
+                    # contiguous prefix (the common discounted/equal case):
+                    # a plain slice, not a 23-way gather+concat
+                    s_sel = student.hidden_states[: len(layers_arr)]  # [Ld, B, T, H]
+                    t_sel = t_hs[: len(layers_arr)]
+                else:
+                    s_sel = jnp.stack([student.hidden_states[l] for l in layers_arr])
+                    t_sel = jnp.stack([t_hs[l] for l in layers_arr])
                 if cls_distill:
                     # distill position 0 only (distillation.py:251-257)
                     s0 = s_sel[..., 0, :].astype(jnp.float32)
