@@ -176,6 +176,8 @@ def apply(
     layer_params = params["layers"]
     truncated = num_layers is not None and num_layers < cfg.num_hidden_layers
     if truncated:
+        if num_layers < 0:
+            raise ValueError(f"num_layers must be >= 0, got {num_layers}")
         if cache is not None or layer_perturbation is not None:
             raise ValueError("num_layers truncation is for the plain forward path")
         layer_params = jax.tree.map(lambda x: x[:num_layers], layer_params)

@@ -88,7 +88,9 @@ def compute_loss(labels: jax.Array, logits: jax.Array) -> jax.Array:
 class VLPythiaOutput(NamedTuple):
     loss: Optional[jax.Array]
     logits: jax.Array
-    hidden_states: Optional[jax.Array]  # [L+1, B, 256+T, H] when requested
+    # [L+1, B, 256+T, H] when requested (last entry post-final-LN, HF-style);
+    # [num_layers+1, ...] raw residual taps when forward() truncated the stack
+    hidden_states: Optional[jax.Array]
     cache: Optional[gpt_neox.KVCache]
 
 

@@ -214,6 +214,14 @@ def make_distill_step(
         )
     )
     layers_arr = tuple(layers)
+    if train_cfg.distillation_coeff != 0 and not layers_arr:
+        raise ValueError(
+            "distillation_coeff != 0 but the distillation layer list is empty "
+            "(cumulative strategy with distillation_layer=0?)"
+        )
+    # deepest tap both forwards must reach; 0 = embeddings only (pure-replay
+    # ablations with distillation_coeff=0 never read the teacher at all)
+    deepest_tap = max(layers_arr) if layers_arr else 0
     strategy = train_cfg.distillation_modality_weighing_strategy
     loss_kind = train_cfg.distillation_loss
     replay_coeff = train_cfg.replay_coeff
@@ -240,7 +248,7 @@ def make_distill_step(
                 patch_embeddings=patches, output_hidden_states=True,
                 dtype=dtype, attn_impl=attn_impl, loss_only=True,
                 need_logits=replay_coeff > 0,
-                num_layers=None if replay_coeff > 0 else max(layers_arr),
+                num_layers=None if replay_coeff > 0 else deepest_tap,
             )
             teacher_params = merge_params(teacher_trainable, state.frozen)
             # teacher is frozen (stop_gradient): XLA attention's faster
@@ -253,7 +261,7 @@ def make_distill_step(
                 batch["input_ids"], None, batch["attention_mask"], None,
                 patch_embeddings=patches, output_hidden_states=True,
                 dtype=dtype, attn_impl="xla", need_logits=False,
-                num_layers=max(layers_arr),
+                num_layers=deepest_tap,
             )
             t_hs = jax.lax.stop_gradient(teacher.hidden_states)
 
