@@ -483,10 +483,17 @@ def _make_flash(causal: bool, scale: float, block_q: int, block_k: int):
             )
             return dq, dk, dv, None
         q_len, k_len = q.shape[2], k.shape[2]
-        q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
-        g32, o32 = g.astype(jnp.float32), out.astype(jnp.float32)
+        # matmul operands stay bf16 (f32 accumulation via
+        # preferred_element_type) — f32 operands run the MXU at 1/4 rate.
+        # s is bit-identical to upcast-then-multiply (products of bf16
+        # values, f32 accum — exactly what the pallas forward computed, so
+        # exp(s - lse) yields exact probabilities); p/ds are rounded to bf16
+        # for the gradient matmuls, the same operand precision flash-attn-2
+        # uses. Softmax/exp and the ds elementwise algebra remain f32.
+        bf = jnp.bfloat16
+        qb, kb, vb, gb = (x.astype(bf) for x in (q, k, v, g))
 
-        s = jnp.einsum("bhqd,bhkd->bhqk", q32 * scale, k32, preferred_element_type=jnp.float32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qb, kb, preferred_element_type=jnp.float32) * scale
         if causal:
             offset = k_len - q_len
             qi = jnp.arange(q_len)[:, None]
@@ -495,13 +502,14 @@ def _make_flash(causal: bool, scale: float, block_q: int, block_k: int):
         keep = mask[:, None, None, :].astype(bool)
         s = jnp.where(keep, s, _NEG)
         p = jnp.exp(s - lse[..., None])  # exact probs; 0 for empty rows (lse=inf)
+        pb = p.astype(bf)
 
-        dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32, preferred_element_type=jnp.float32)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32, preferred_element_type=jnp.float32)
-        delta = jnp.sum(g32 * o32, axis=-1, keepdims=True)  # [b,h,q,1]
-        ds = p * (dp - delta)
-        dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k32, preferred_element_type=jnp.float32) * scale
-        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q32, preferred_element_type=jnp.float32) * scale
+        dv = jnp.einsum("bhqk,bhqd->bhkd", pb, gb, preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gb, vb, preferred_element_type=jnp.float32)
+        delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)  # [b,h,q,1]
+        ds = (p * (dp - delta)).astype(bf)
+        dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kb, preferred_element_type=jnp.float32) * scale
+        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qb, preferred_element_type=jnp.float32) * scale
         return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
     flash.defvjp(fwd, bwd)
