@@ -63,6 +63,38 @@ def test_dryrun_multichip_8(eight_devices):
 
 
 @pytest.mark.slow
+def test_dryrun_multichip_with_preinitialized_small_backend():
+    """Regression for the round-1 driver failure (MULTICHIP_r01 rc=1): the
+    caller initializes a 1-device backend BEFORE calling dryrun_multichip(8).
+    The dry run must detect the shortfall and re-exec in a scrubbed
+    subprocess instead of raising."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; assert len(jax.devices()) == 1; "
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun_multichip ok on 8 devices" in proc.stdout
+
+
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(eight_devices):
     """DP-sharded step must produce the same loss as replicated execution."""
     from __graft_entry__ import _example_batch
