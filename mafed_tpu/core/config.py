@@ -190,6 +190,9 @@ class TrainConfig:
     model_type: str = "vlpythia"
     model_name: str = "storage/models/vl-pythia-eva-1b"
     tokenizer_name: str = "EleutherAI/pythia-410m"
+    # opt-in ONLY: byte-level tokenizer when the real one is unavailable
+    # (changes the vocabulary — synthetic/test runs, never real training)
+    allow_tokenizer_fallback: bool = False
     vision_encoder_name: str = "timm/eva02_large_patch14_clip_224"
     # Data locations (reference: config/train-vqa-base-cl-local-vlpythia.json)
     data_dir: str = "storage/data/VQA"
@@ -202,6 +205,9 @@ class TrainConfig:
     # TPU-specific (new, no reference counterpart)
     mesh_shape: list = field(default_factory=lambda: [-1, 1])  # (data, model)
     mesh_axis_names: list = field(default_factory=lambda: ["data", "model"])
+    # force jax.distributed.initialize() (multi-host pods; coordinator env
+    # vars also trigger it — see core/dist.py)
+    distributed_init: bool = False
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     adam_mu_dtype: Optional[str] = None  # "bfloat16" halves first-moment memory (1B scale)

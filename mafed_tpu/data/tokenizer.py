@@ -57,8 +57,17 @@ def build_tokenizer(
     model_max_length: int = 100,
     padding_side: str = "left",
     truncation_side: str = "right",
+    allow_fallback: bool = False,
 ):
-    """Pythia tokenizer with pad=eos and left padding; byte fallback offline."""
+    """Pythia tokenizer with pad=eos and left padding.
+
+    `tokenizer_name` may be a hub id or a local directory containing
+    tokenizer files. When the real tokenizer is unavailable (no cache, no
+    network), this HARD-FAILS by default: silently swapping in the byte
+    fallback would change the vocabulary and every downstream accuracy
+    number. Tests and synthetic runs opt in with allow_fallback=True
+    (CLI: --allow_tokenizer_fallback).
+    """
     try:
         from transformers import AutoTokenizer
 
@@ -73,6 +82,16 @@ def build_tokenizer(
             tok.pad_token = tok.eos_token
         return tok
     except Exception as exc:
+        if not allow_fallback:
+            raise RuntimeError(
+                f"tokenizer '{tokenizer_name}' is unavailable "
+                f"({type(exc).__name__}: {exc}). Real runs must tokenize "
+                "identically to the reference (pretrain_vlpythia.py:104-116); "
+                "point --tokenizer_name at a local directory with the Pythia "
+                "tokenizer files, or pass --allow_tokenizer_fallback to "
+                "accept a byte-level tokenizer (synthetic/test runs ONLY — "
+                "it changes the vocabulary and all accuracy numbers)."
+            ) from exc
         LOGGER.warning(
             "HF tokenizer '%s' unavailable (%s); using offline byte-level fallback",
             tokenizer_name, type(exc).__name__,

@@ -36,6 +36,7 @@ class ModelArguments:
     tokenizer_truncation_side: str = "right"
     tokenizer_padding_side: str = "right"
     tokenizer_add_special_tokens: bool = True
+    allow_tokenizer_fallback: bool = False
     model_max_length: int = 100
 
 
@@ -104,6 +105,7 @@ def train(argv=None):
         model_max_length=model_args.model_max_length,
         padding_side=model_args.tokenizer_padding_side,
         truncation_side=model_args.tokenizer_truncation_side,
+        allow_fallback=model_args.allow_tokenizer_fallback,
     )
 
     train_ds = PretrainDataset(

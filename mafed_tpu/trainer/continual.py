@@ -50,6 +50,12 @@ class ContinualLearningTrainer:
         use_mesh: bool = True,
     ) -> None:
         self.config = config
+        # multi-host SPMD: must run before any backend use so every process
+        # sees the global device set (replaces the reference's implicit
+        # torch.distributed env init; README.md:47 left it untested)
+        from mafed_tpu.core.dist import maybe_initialize_distributed
+
+        maybe_initialize_distributed(config)
         seed_everything(config.seed)
         self._initialize_tasks()
         save_configs(config)
@@ -74,9 +80,15 @@ class ContinualLearningTrainer:
             else:
                 model_cfg = ModelConfig()
         self.model_cfg = model_cfg
+        # persist for offline analysis (analysis/sweep.py) + ckpt parity
+        import json
+
+        with open(os.path.join(config.output_dir, "log", "model_config.json"), "w") as f:
+            json.dump(model_cfg.to_dict(), f, indent=2)
 
         self.tokenizer = build_tokenizer(
-            config.tokenizer_name, model_max_length=100, padding_side="left"
+            config.tokenizer_name, model_max_length=100, padding_side="left",
+            allow_fallback=config.allow_tokenizer_fallback,
         )
         mesh = make_mesh(config.mesh_shape, config.mesh_axis_names) if use_mesh else None
         self.runner = TaskRunner(
@@ -128,6 +140,7 @@ class ContinualLearningTrainer:
                 self.tokenizer,
                 self.config.val_batch_size,
                 max_batches=self.config.val_max_batches,
+                sharding=self.runner.eval_sharding,
             )
             accuracy[val_task_id, task_id] = val_log["valid/acc"]
 

@@ -104,4 +104,5 @@ def write_synthetic_vqa(root: str, tasks=("taskA", "taskB"), n_train: int = 24, 
         mesh_shape=[1, 1],
         log_every=1,
         seed=42,
+        allow_tokenizer_fallback=True,  # synthetic data; offline test env
     )

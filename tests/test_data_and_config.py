@@ -43,6 +43,19 @@ def test_collate_truncates_overlong_from_left():
     np.testing.assert_array_equal(out["input_ids"][0], [5, 6, 7, 8])
 
 
+def test_build_tokenizer_hard_fails_without_optin(monkeypatch):
+    """Real runs must not silently train on a different vocabulary
+    (VERDICT r1 #4): no real tokenizer available => RuntimeError unless the
+    caller explicitly opts into the byte fallback."""
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    from mafed_tpu.data.tokenizer import build_tokenizer
+
+    with pytest.raises(RuntimeError, match="allow_tokenizer_fallback"):
+        build_tokenizer("EleutherAI/pythia-410m")
+    tok = build_tokenizer("EleutherAI/pythia-410m", allow_fallback=True)
+    assert getattr(tok, "is_byte_fallback", False)
+
+
 def test_byte_tokenizer_roundtrip():
     tok = ByteTokenizer()
     ids = tok("What color?").input_ids
