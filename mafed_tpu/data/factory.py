@@ -68,6 +68,13 @@ def prepare_val_dataset(config: TrainConfig, task: str, tokenizer, vision_cfg: V
 
 
 def make_val_loader(config: TrainConfig, dataset, text_len: int) -> BatchLoader:
+    """Validation loader. Multi-process runs shard examples over processes
+    (each host scores its slice; validate_vqa sums the metric states across
+    processes) — per-process decode is NOT collective, so unequal shard
+    sizes are safe."""
+    import jax
+
+    n_proc = jax.process_count()
     return BatchLoader(
         dataset,
         batch_size=config.val_batch_size,
@@ -75,6 +82,8 @@ def make_val_loader(config: TrainConfig, dataset, text_len: int) -> BatchLoader:
         shuffle=False,
         num_workers=config.val_num_workers,
         drop_last=False,
+        shard_id=jax.process_index() if n_proc > 1 else 0,
+        num_shards=n_proc,
     )
 
 

@@ -64,6 +64,11 @@ class BatchLoader:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(order)
         if self.num_shards > 1:
+            if self.drop_last:
+                # every process must see the SAME number of batches (SPMD
+                # steps are collective); truncate to a global-batch multiple
+                keep = len(order) - len(order) % (self.num_shards * self.batch_size)
+                order = order[:keep]
             order = order[self.shard_id :: self.num_shards]
         batches = []
         for start in range(0, len(order), self.batch_size):

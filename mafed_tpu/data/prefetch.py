@@ -25,10 +25,19 @@ class DevicePrefetcher:
         self.device_keys = set(device_keys)
 
     def _put(self, batch: Dict) -> Dict:
+        multiproc = self.sharding is not None and jax.process_count() > 1
         out = {}
         for k, v in batch.items():
             if k in self.device_keys and isinstance(v, np.ndarray):
-                out[k] = jax.device_put(v, self.sharding) if self.sharding is not None else jax.device_put(v)
+                if multiproc:
+                    # v is this process's shard of the global batch (the
+                    # loader iterates its interleaved slice); assemble the
+                    # global sharded array without gathering to one host
+                    out[k] = jax.make_array_from_process_local_data(self.sharding, v)
+                elif self.sharding is not None:
+                    out[k] = jax.device_put(v, self.sharding)
+                else:
+                    out[k] = jax.device_put(v)
             else:
                 out[k] = v
         return out

@@ -37,7 +37,16 @@ def validate_vqa(
     tokenizer,
     batch_size: int,
     max_batches: Optional[int] = None,
+    sharding=None,
 ) -> Tuple[Dict, Dict]:
+    """Generative VQA eval. With `sharding` the decode batch is placed with
+    the mesh's batch sharding, so generation runs SPMD over the data axis;
+    each process scores its own shard host-side and (score_sum, n_ex) are
+    summed across processes afterwards — the TPU-native replacement for the
+    reference metric's dist_sync_on_step NCCL all_reduce
+    (eval_utils.py:83-104,135-138)."""
+    import jax
+
     n_ex = 0
     start = time.time()
     results: Dict = {}
@@ -48,6 +57,8 @@ def validate_vqa(
             break
         padded, n_valid = _pad_batch(batch, batch_size)
         dec_batch = {k: padded[k] for k in ("input_ids", "attention_mask", "pixels")}
+        if sharding is not None:
+            dec_batch = {k: jax.device_put(v, sharding) for k, v in dec_batch.items()}
         toks = np.asarray(decoder(params, dec_batch))[:n_valid]
         predictions = tokenizer.batch_decode(toks, skip_special_tokens=True)
         answers = batch["answers"][:n_valid]
@@ -63,10 +74,15 @@ def validate_vqa(
         n_ex += n_valid
 
     tot_time = max(time.time() - start, 1e-9)
-    val_acc = metric.compute()
-    LOGGER.info("Tested %d samples", n_ex)
+    # multi-process DP eval: every process scored its shard; reduce sums
+    from mafed_tpu.core.dist import process_reduce_sum
+
+    score_sum, total = process_reduce_sum(metric.accuracy, float(metric.total))
+    n_ex_global = int(total) if total else n_ex
+    val_acc = score_sum / max(total, 1.0)
+    LOGGER.info("Tested %d samples", n_ex_global)
     LOGGER.info("validation finished in %d seconds, score: %.2f", int(tot_time), val_acc * 100)
     return (
-        {"valid/acc": val_acc, "valid/ex_per_s": n_ex / tot_time, "valid/n_ex": n_ex},
+        {"valid/acc": val_acc, "valid/ex_per_s": n_ex_global / tot_time, "valid/n_ex": n_ex_global},
         results,
     )

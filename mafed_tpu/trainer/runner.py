@@ -65,6 +65,10 @@ class TaskRunner:
         self.train_text_len = _round_up(config.max_txt_len + 20, pad_m)
         self.val_text_len = _round_up(config.max_txt_len + 4, pad_m)
         self._batch_sharding = batch_sharding(mesh) if mesh is not None else None
+        # SPMD eval sharding: single-process only — a globally-sharded decode
+        # is collective, and per-process val shards may have unequal batch
+        # counts (multi-process eval decodes locally + reduces metric sums)
+        self.eval_sharding = self._batch_sharding if jax.process_count() == 1 else None
 
         self.decoder = make_greedy_decoder(
             model_cfg,
@@ -81,15 +85,28 @@ class TaskRunner:
 
     # -- loaders -------------------------------------------------------------
     def make_train_loader(self, dataset, shuffle: bool = True, seed: Optional[int] = None, infinite: bool = False) -> BatchLoader:
+        """Per-host sharded train loader (replaces DistributedSampler,
+        reference replay.py:46-49): every process walks the SAME seeded epoch
+        order but loads only its interleaved slice; config.batch_size is the
+        GLOBAL batch, so each host collates batch_size/process_count rows and
+        DevicePrefetcher assembles the global sharded array."""
+        n_proc = jax.process_count()
+        if self.config.batch_size % n_proc != 0:
+            raise ValueError(
+                f"global batch_size {self.config.batch_size} not divisible by "
+                f"{n_proc} processes"
+            )
         return BatchLoader(
             dataset,
-            batch_size=self.config.batch_size,
+            batch_size=self.config.batch_size // n_proc,
             collate=partial(collate_train, text_len=self.train_text_len),
             shuffle=shuffle or infinite,
             seed=self.config.seed if seed is None else seed,
             num_workers=self.config.n_workers,
             drop_last=True,
             infinite=infinite,
+            shard_id=jax.process_index(),
+            num_shards=n_proc,
         )
 
     def device_batches(self, loader):
@@ -274,6 +291,7 @@ class TaskRunner:
                 self.tokenizer,
                 self.config.val_batch_size,
                 max_batches=self.config.val_max_batches,
+                sharding=self.eval_sharding,
             )
             acc = float(val_log["valid/acc"])
             history.append({"epoch": epoch, "acc": acc, "train_ex_per_s": ex_per_s})

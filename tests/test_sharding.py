@@ -132,3 +132,60 @@ def test_sharded_train_step_matches_single_device(eight_devices):
     loss_single = run()
     loss_dp = run(make_mesh((8, 1), ("data", "model")))
     assert abs(loss_single - loss_dp) < 1e-4
+
+
+@pytest.mark.slow
+def test_dp8_two_fit_steps_and_validate_match_single_device(eight_devices):
+    """VERDICT r1 #3 done-criterion: 2 train steps + 1 generative validate
+    under dp=8 must match the single-device numbers for the same global
+    batch (SPMD DP is a pure layout change)."""
+    from __graft_entry__ import _example_batch
+    from mafed_tpu.core.config import ModelConfig, TrainConfig, VisionConfig
+    from mafed_tpu.data.tokenizer import ByteTokenizer
+    from mafed_tpu.evaluation.decode import make_greedy_decoder
+    from mafed_tpu.evaluation.validate import validate_vqa
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.optim.optimizer import build_optimizer
+    from mafed_tpu.optim.sched import linear_warmup_schedule
+    from mafed_tpu.training.step import make_train_step
+    from mafed_tpu.training.train_state import TrainState, merge_params, split_params
+
+    model_cfg = ModelConfig(
+        vocab_size=300, hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64,
+        vision=VisionConfig(img_size=28, patch_size=14, embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0),
+    )
+    train_cfg = TrainConfig(batch_size=8, accumulate_grad_batches=1, optim="adamw",
+                            weight_decay=0.01, learning_rate=1e-3)
+    params = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(0))
+    trainable, frozen = split_params(params)
+    tx = build_optimizer(train_cfg, trainable, linear_warmup_schedule(1e-3, 2, 100))
+
+    batches = [_example_batch(model_cfg, batch=8, text_len=16, seed=s) for s in (0, 1)]
+    tok = ByteTokenizer()
+    decoder = make_greedy_decoder(model_cfg, eos_token_id=tok.eos_token_id, attn_impl="xla")
+    val_batch = _example_batch(model_cfg, batch=8, text_len=16, seed=3)
+    val_batch["qids"] = [f"q{i}" for i in range(8)]
+    val_batch["answers"] = [["yes"] * 10 for _ in range(8)]
+
+    def run(mesh=None):
+        t = jax.tree.map(lambda x: x, trainable)
+        state = TrainState(jnp.zeros((), jnp.int32), t, frozen, tx.init(t))
+        step = make_train_step(model_cfg, train_cfg, tx, attn_impl="xla", donate=False)
+        sh = batch_sharding(mesh) if mesh is not None else None
+        losses = []
+        for b in batches:
+            db = {k: jax.device_put(v, sh) if sh is not None else jnp.asarray(v) for k, v in b.items()}
+            state, m = step(state, db)
+            losses.append(float(m["loss"]))
+        log, _ = validate_vqa(
+            merge_params(state.trainable, state.frozen), decoder, [val_batch], tok,
+            batch_size=8, sharding=sh,
+        )
+        return losses, log["valid/acc"], log["valid/n_ex"]
+
+    losses_1, acc_1, n_1 = run()
+    losses_8, acc_8, n_8 = run(make_mesh((8, 1), ("data", "model")))
+    assert n_1 == n_8 == 8
+    assert all(abs(a - b) < 1e-4 for a, b in zip(losses_1, losses_8)), (losses_1, losses_8)
+    assert abs(acc_1 - acc_8) < 1e-9
