@@ -163,6 +163,7 @@ def _flash_forward(
     scale: float,
     block_q: int,
     block_k: int,
+    use_mask: bool = True,
 ):
     from jax.experimental import pallas as pl
 
@@ -171,7 +172,8 @@ def _flash_forward(
 
     q_pad = (-q_len) % block_q
     k_pad = (-kv_len) % block_k
-    use_mask = bool(k_pad) or True  # mask is always materialized by caller
+    # padded keys must be masked out even when the caller had no padding mask
+    use_mask = use_mask or bool(k_pad)
     if k_pad:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
@@ -347,7 +349,7 @@ def _flash_bwd_dq_kernel(
 
 def _flash_backward(
     q, k, v, mask, out, lse, g,
-    *, causal: bool, scale: float, block_q: int, block_k: int,
+    *, causal: bool, scale: float, block_q: int, block_k: int, use_mask: bool = True,
 ):
     """Blockwise flash backward: dq via a q-block grid, dk/dv via a k-block
     grid; delta = rowsum(do * o) precomputed in XLA. No [T, T] tensor ever
@@ -359,6 +361,7 @@ def _flash_backward(
     kv_len = k.shape[2]
     q_pad = (-q_len) % block_q
     k_pad = (-kv_len) % block_k
+    use_mask = use_mask or bool(k_pad)
     pq, pk = q_len + q_pad, kv_len + k_pad
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [b,h,q]
@@ -387,7 +390,7 @@ def _flash_backward(
     dkv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel,
-            causal=causal, scale=scale, block_q=block_q, q_len=pq, use_mask=True,
+            causal=causal, scale=scale, block_q=block_q, q_len=pq, use_mask=use_mask,
         ),
         grid=(bh, pk // block_k),
         in_specs=[
@@ -415,7 +418,7 @@ def _flash_backward(
     dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel,
-            causal=causal, scale=scale, block_k=block_k, kv_len=pk, use_mask=True,
+            causal=causal, scale=scale, block_k=block_k, kv_len=pk, use_mask=use_mask,
         ),
         grid=(bh, pq // block_q),
         in_specs=[
@@ -448,7 +451,7 @@ _PALLAS_BWD_KV_THRESHOLD = 1024
 
 
 @functools.lru_cache(maxsize=32)
-def _make_flash(causal: bool, scale: float, block_q: int, block_k: int):
+def _make_flash(causal: bool, scale: float, block_q: int, block_k: int, use_mask: bool = True):
     """Differentiable flash attention: pallas forward AND backward.
 
     Backward recomputes the masked probabilities blockwise from the saved
@@ -464,11 +467,15 @@ def _make_flash(causal: bool, scale: float, block_q: int, block_k: int):
 
     @jax.custom_vjp
     def flash(q, k, v, mask):
-        out, _ = _flash_forward(q, k, v, mask, causal=causal, scale=scale, block_q=block_q, block_k=block_k)
+        out, _ = _flash_forward(
+            q, k, v, mask, causal=causal, scale=scale, block_q=block_q, block_k=block_k, use_mask=use_mask
+        )
         return out
 
     def fwd(q, k, v, mask):
-        out, lse = _flash_forward(q, k, v, mask, causal=causal, scale=scale, block_q=block_q, block_k=block_k)
+        out, lse = _flash_forward(
+            q, k, v, mask, causal=causal, scale=scale, block_q=block_q, block_k=block_k, use_mask=use_mask
+        )
         return out, (q, k, v, mask, out, lse)
 
     def bwd(res, g):
@@ -479,7 +486,7 @@ def _make_flash(causal: bool, scale: float, block_q: int, block_k: int):
         if use_pallas_bwd:
             dq, dk, dv = _flash_backward(
                 q, k, v, mask, out, lse, g,
-                causal=causal, scale=scale, block_q=block_q, block_k=block_k,
+                causal=causal, scale=scale, block_q=block_q, block_k=block_k, use_mask=use_mask,
             )
             return dq, dk, dv, None
         q_len, k_len = q.shape[2], k.shape[2]
@@ -499,8 +506,9 @@ def _make_flash(causal: bool, scale: float, block_q: int, block_k: int):
             qi = jnp.arange(q_len)[:, None]
             ki = jnp.arange(k_len)[None, :]
             s = jnp.where((ki <= qi + offset)[None, None], s, _NEG)
-        keep = mask[:, None, None, :].astype(bool)
-        s = jnp.where(keep, s, _NEG)
+        if use_mask:
+            keep = mask[:, None, None, :].astype(bool)
+            s = jnp.where(keep, s, _NEG)
         p = jnp.exp(s - lse[..., None])  # exact probs; 0 for empty rows (lse=inf)
         pb = p.astype(bf)
 
@@ -552,13 +560,17 @@ def dot_product_attention(
         shapes_ok = head_dim % 128 == 0 or head_dim in (64, 96, 128, 256)
         shapes_ok = shapes_ok and q_len >= 8 and (not causal or kv_len == q_len)
         if shapes_ok:
+            # the mask operand is always materialized (fixed custom_vjp arity)
+            # but with use_mask=False the kernels never read it, so the
+            # unmasked vision path skips the per-block key-padding loads
+            use_mask = key_padding_mask is not None
             mask = (
                 key_padding_mask.astype(jnp.int32)
-                if key_padding_mask is not None
+                if use_mask
                 else jnp.ones((q.shape[0], kv_len), jnp.int32)
             )
             bq = min(block_q, ((q_len + 127) // 128) * 128)
-            flash = _make_flash(causal, scale_f, bq, block_k)
+            flash = _make_flash(causal, scale_f, bq, block_k, use_mask)
             return flash(q, k, v, mask)
         if impl == "pallas":
             raise ValueError(f"unsupported shapes for pallas flash attention: {q.shape} {k.shape}")

@@ -125,8 +125,16 @@ def apply(
     attn_impl: str = "auto",
     layer_perturbation: Optional[jax.Array] = None,
     num_layers: Optional[int] = None,
+    remat: bool = False,
 ) -> Dict[str, Any]:
     """Run the decoder stack over precomputed input embeddings.
+
+    remat=True (no-cache path): per-layer rematerialization — the scan saves
+    only each layer's carry ([L, B, T, H] bf16) and recomputes the layer's
+    internals (qkv/attention/MLP activations, ~20x larger) during the
+    backward pass, trading ~1 extra decoder forward for the residual memory.
+    This is what makes fused accumulation windows (large effective batch)
+    fit in HBM.
 
     Returns {"last_hidden_state", "hidden_states" (optional, [L+1, B, T, H]
     matching HF's tuple: embeddings, per-layer outputs, final post-LN),
@@ -258,6 +266,9 @@ def apply(
             def layer_fn_nocache(carry, lp):
                 return layer_fn(carry, (lp, None, None))
 
+            if remat:
+                # prevent_cse is safe (and needed for speed) under scan
+                layer_fn_nocache = jax.checkpoint(layer_fn_nocache, prevent_cse=False)
             h_final, (layer_outs, _) = jax.lax.scan(layer_fn_nocache, h, layer_params)
         new_cache = None
 

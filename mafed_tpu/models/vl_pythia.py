@@ -177,6 +177,7 @@ def forward(
     loss_only: bool = False,
     need_logits: bool = True,
     num_layers: Optional[int] = None,
+    remat_layers: bool = False,
 ) -> VLPythiaOutput:
     """Full training/eval forward (no KV cache; see evaluation.decode for that).
 
@@ -214,6 +215,7 @@ def forward(
         dtype=dtype, attn_impl=attn_impl,
         layer_perturbation=layer_pert,
         num_layers=num_layers,
+        remat=remat_layers,
     )
     hidden = dec["last_hidden_state"]
     if not need_logits and labels is None:

@@ -22,6 +22,47 @@ import optax
 from mafed_tpu.core.config import TrainConfig
 
 
+class ClipState(NamedTuple):
+    """State of clip_by_global_norm_recorded: the last pre-clip grad norm.
+
+    Recording the norm here lets train steps report it as a metric without
+    recomputing the full-tree reduction optax already performed for clipping
+    (it was ~1% of the fused distill step).
+    """
+
+    grad_norm: jax.Array
+
+
+def clip_by_global_norm_recorded(max_norm: float) -> "optax.GradientTransformation":
+    """optax.clip_by_global_norm semantics + the norm kept in state."""
+
+    def init(params):
+        del params
+        return ClipState(jnp.zeros((), jnp.float32))
+
+    def update(updates, state, params=None):
+        del params, state
+        gnorm = optax.global_norm(updates)
+        scale = jnp.where(gnorm > max_norm, max_norm / gnorm, 1.0)
+        updates = jax.tree.map(lambda u: u * scale.astype(u.dtype), updates)
+        return updates, ClipState(gnorm.astype(jnp.float32))
+
+    return optax.GradientTransformation(init, update)
+
+
+def last_grad_norm(opt_state) -> jax.Array:
+    """Extract the recorded pre-clip global grad norm from an optimizer state
+    tree (searches through chains / MultiSteps wrappers)."""
+    found = [
+        s.grad_norm
+        for s in jax.tree.leaves(opt_state, is_leaf=lambda x: isinstance(x, ClipState))
+        if isinstance(s, ClipState)
+    ]
+    if not found:
+        raise ValueError("optimizer state contains no ClipState (grad clipping disabled?)")
+    return found[0]
+
+
 class ScheduleState(NamedTuple):
     """LR-schedule state carried INSIDE the optimizer state.
 
@@ -129,7 +170,7 @@ def build_optimizer(
 
     chain = []
     if config.grad_norm and config.grad_norm > 0:
-        chain.append(optax.clip_by_global_norm(config.grad_norm))
+        chain.append(clip_by_global_norm_recorded(config.grad_norm))
     if wd > 0 and not decoupled_wd:
         # classic L2: grad += wd * theta before the moment updates
         chain.append(optax.add_decayed_weights(wd, mask=decay_mask))

@@ -39,22 +39,20 @@ def _prep_pixels(batch: Dict[str, jax.Array], cfg: ModelConfig, dtype) -> jax.Ar
     return prep_pixels(batch, cfg.vision, dtype)
 
 
-def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat=False):
+def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat=False, patches=None):
+    """remat=True rematerializes decoder layers during backward (per-layer
+    jax.checkpoint inside the layer scan — NOT a whole-forward checkpoint,
+    which would pointlessly recompute the frozen vision tower too)."""
     params = merge_params(trainable, frozen)
-    pixel_values = _prep_pixels(batch, cfg, dtype)
-
-    def fwd(params, input_ids, pixel_values, attention_mask, labels):
-        # frozen vision tower -> XLA fused attention (faster fwd, no
-        # residuals since it sits behind stop_gradient)
-        return vl_pythia.forward(
-            params, cfg, input_ids, pixel_values, attention_mask, labels,
-            dtype=dtype, attn_impl=attn_impl, vision_attn_impl="xla",
-            loss_only=True,
-        ).loss
-
-    if remat:
-        fwd = jax.checkpoint(fwd)
-    return fwd(params, batch["input_ids"], pixel_values, batch["attention_mask"], batch["labels"])
+    pixel_values = _prep_pixels(batch, cfg, dtype) if patches is None else None
+    # frozen vision tower -> XLA fused attention (faster fwd, no
+    # residuals since it sits behind stop_gradient)
+    return vl_pythia.forward(
+        params, cfg, batch["input_ids"], pixel_values, batch["attention_mask"], batch["labels"],
+        patch_embeddings=patches,
+        dtype=dtype, attn_impl=attn_impl, vision_attn_impl="xla",
+        loss_only=True, remat_layers=remat,
+    ).loss
 
 
 def ewc_penalty(trainable, ewc_state, reg_lambda: float) -> jax.Array:
@@ -100,7 +98,7 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax_apply_updates(state.trainable, updates)
         new_state = TrainState(state.step + 1, trainable, state.frozen, opt_state)
-        metrics = {"loss": loss, "grad_norm": optax_global_norm(grads)}
+        metrics = {"loss": loss, "grad_norm": _grad_norm_metric(grads, opt_state)}
         return new_state, metrics
 
     donate_args = (0,) if donate else ()
@@ -118,6 +116,19 @@ def optax_global_norm(tree) -> jax.Array:
     import optax
 
     return optax.global_norm(tree)
+
+
+def _grad_norm_metric(grads, new_opt_state) -> jax.Array:
+    """Pre-clip global grad norm for metrics — read from the clip transform's
+    recorded state instead of recomputing the full-tree reduction. Under
+    optax.MultiSteps this is the norm at the last accumulation boundary.
+    Falls back to recomputing when clipping is disabled."""
+    from mafed_tpu.optim.optimizer import last_grad_norm
+
+    try:
+        return last_grad_norm(new_opt_state)
+    except ValueError:
+        return optax_global_norm(grads)
 
 
 # ---------------------------------------------------------------------------
@@ -185,20 +196,19 @@ def _masked_token_loss(h: jax.Array, h_past: jax.Array, mask: jax.Array, kind: s
     return jnp.sum(tok * m, axis=(-2, -1)) / denom
 
 
-def make_distill_step(
+def make_distill_loss_fn(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
-    tx,
     *,
     attn_impl: str = "auto",
-    donate: bool = True,
+    remat_student: bool = False,
 ) -> Callable:
-    """Fused student+teacher replay step for featdistill/MAFED.
+    """Build the fused student+teacher MAFED replay loss.
 
-    step(state, teacher_trainable, batch, lang_coeffs) where lang_coeffs is
-    a [num_distill_layers] array of language-modality weights in [0,1]
-    (from the balanced constant, the adaptive estimator, or — for the
-    'equal' strategy — ignored in favor of in-graph token counts).
+    Returns loss_fn(trainable, frozen, teacher_trainable, batch, lang_coeffs)
+    where lang_coeffs is a [num_distill_layers] array of language-modality
+    weights in [0,1] (from the balanced constant, the adaptive estimator, or —
+    for the 'equal' strategy — ignored in favor of in-graph token counts).
     """
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
     num_hl = model_cfg.num_hidden_layers - 1  # train.py:133
@@ -230,87 +240,220 @@ def make_distill_step(
 
     n_vis = model_cfg.vision.num_patches  # 256 for EVA-02-L/14 @224
 
-    def step(state: TrainState, teacher_trainable, batch, lang_coeffs):
+    def loss_fn(trainable, frozen, teacher_trainable, batch, lang_coeffs, patches=None):
         lang_mask, image_mask = modality_masks(batch["attention_mask"], n_vis)
-
-        def loss_fn(trainable):
-            params = merge_params(trainable, state.frozen)
+        params = merge_params(trainable, frozen)
+        if patches is None:
             pixel_values = _prep_pixels(batch, model_cfg, dtype)
             # vision runs ONCE; both passes share the frozen features.
             # frozen/undifferentiated -> XLA fused attention
             patches = vl_pythia.get_patch_embeddings(params, model_cfg, pixel_values, dtype=dtype, attn_impl="xla")
 
-            # without replay CE the student's logits and last two blocks are
-            # never read either — same early exit as the teacher
-            student = vl_pythia.forward(
-                params, model_cfg, batch["input_ids"], None,
-                batch["attention_mask"], batch.get("labels") if replay_coeff > 0 else None,
-                patch_embeddings=patches, output_hidden_states=True,
-                dtype=dtype, attn_impl=attn_impl, loss_only=True,
-                need_logits=replay_coeff > 0,
-                num_layers=None if replay_coeff > 0 else deepest_tap,
-            )
-            teacher_params = merge_params(teacher_trainable, state.frozen)
-            # teacher is frozen (stop_gradient): XLA attention's faster
-            # forward applies; no residuals are kept for it. Early-exit after
-            # the deepest distilled tap — hidden_states beyond max(layers)
-            # are never read (the reference runs the full teacher and drops
-            # them, distillation.py:105-122).
-            teacher = vl_pythia.forward(
-                jax.lax.stop_gradient(teacher_params), model_cfg,
-                batch["input_ids"], None, batch["attention_mask"], None,
-                patch_embeddings=patches, output_hidden_states=True,
-                dtype=dtype, attn_impl="xla", need_logits=False,
-                num_layers=deepest_tap,
-            )
-            t_hs = jax.lax.stop_gradient(teacher.hidden_states)
+        # without replay CE the student's logits and last two blocks are
+        # never read either — same early exit as the teacher
+        student = vl_pythia.forward(
+            params, model_cfg, batch["input_ids"], None,
+            batch["attention_mask"], batch.get("labels") if replay_coeff > 0 else None,
+            patch_embeddings=patches, output_hidden_states=True,
+            dtype=dtype, attn_impl=attn_impl, loss_only=True,
+            need_logits=replay_coeff > 0,
+            num_layers=None if replay_coeff > 0 else deepest_tap,
+            remat_layers=remat_student,
+        )
+        teacher_params = merge_params(teacher_trainable, frozen)
+        # teacher is frozen (stop_gradient): XLA attention's faster
+        # forward applies; no residuals are kept for it. Early-exit after
+        # the deepest distilled tap — hidden_states beyond max(layers)
+        # are never read (the reference runs the full teacher and drops
+        # them, distillation.py:105-122).
+        teacher = vl_pythia.forward(
+            jax.lax.stop_gradient(teacher_params), model_cfg,
+            batch["input_ids"], None, batch["attention_mask"], None,
+            patch_embeddings=patches, output_hidden_states=True,
+            dtype=dtype, attn_impl="xla", need_logits=False,
+            num_layers=deepest_tap,
+        )
+        t_hs = jax.lax.stop_gradient(teacher.hidden_states)
 
-            loss = jnp.zeros((), jnp.float32)
-            if replay_coeff > 0 and student.loss is not None:
-                loss = loss + replay_coeff * student.loss
+        loss = jnp.zeros((), jnp.float32)
+        if replay_coeff > 0 and student.loss is not None:
+            loss = loss + replay_coeff * student.loss
 
-            if distill_coeff != 0:
-                if layers_arr == tuple(range(len(layers_arr))):
-                    # contiguous prefix (the common discounted/equal case):
-                    # a plain slice, not a 23-way gather+concat
-                    s_sel = student.hidden_states[: len(layers_arr)]  # [Ld, B, T, H]
-                    t_sel = t_hs[: len(layers_arr)]
+        if distill_coeff != 0:
+            if layers_arr == tuple(range(len(layers_arr))):
+                # contiguous prefix (the common discounted/equal case):
+                # a plain slice, not a 23-way gather+concat
+                s_sel = student.hidden_states[: len(layers_arr)]  # [Ld, B, T, H]
+                t_sel = t_hs[: len(layers_arr)]
+            else:
+                s_sel = jnp.stack([student.hidden_states[l] for l in layers_arr])
+                t_sel = jnp.stack([t_hs[l] for l in layers_arr])
+            if cls_distill:
+                # distill position 0 only (distillation.py:251-257)
+                s0 = s_sel[..., 0, :].astype(jnp.float32)
+                t0 = t_sel[..., 0, :].astype(jnp.float32)
+                if loss_kind == "cosine":
+                    sn = s0 / jnp.maximum(jnp.linalg.norm(s0, axis=-1, keepdims=True), 1e-8)
+                    tn = t0 / jnp.maximum(jnp.linalg.norm(t0, axis=-1, keepdims=True), 1e-8)
+                    per_layer = jnp.mean(1.0 - jnp.sum(sn * tn, axis=-1), axis=-1)
                 else:
-                    s_sel = jnp.stack([student.hidden_states[l] for l in layers_arr])
-                    t_sel = jnp.stack([t_hs[l] for l in layers_arr])
-                if cls_distill:
-                    # distill position 0 only (distillation.py:251-257)
-                    s0 = s_sel[..., 0, :].astype(jnp.float32)
-                    t0 = t_sel[..., 0, :].astype(jnp.float32)
-                    if loss_kind == "cosine":
-                        sn = s0 / jnp.maximum(jnp.linalg.norm(s0, axis=-1, keepdims=True), 1e-8)
-                        tn = t0 / jnp.maximum(jnp.linalg.norm(t0, axis=-1, keepdims=True), 1e-8)
-                        per_layer = jnp.mean(1.0 - jnp.sum(sn * tn, axis=-1), axis=-1)
-                    else:
-                        per_layer = jnp.mean(jnp.mean(jnp.square(s0 - t0), axis=-1), axis=-1)
-                    dloss = jnp.sum(layer_coeffs * distill_coeff * per_layer)
-                else:
-                    lang_l = _masked_token_loss(s_sel, t_sel, lang_mask[None], loss_kind)  # [Ld]
-                    img_l = _masked_token_loss(s_sel, t_sel, image_mask[None], loss_kind)
-                    if strategy == "equal":
-                        # token-count-proportional (dl_weights.py:148-155)
-                        n_lang = jnp.sum(lang_mask).astype(jnp.float32)
-                        n_img = jnp.sum(image_mask).astype(jnp.float32)
-                        lw = jnp.full((len(layers_arr),), n_lang / (n_lang + n_img))
-                        vw = jnp.full((len(layers_arr),), n_img / (n_lang + n_img))
-                    else:  # balanced / adaptive: externally supplied coefficients
-                        lw = lang_coeffs.astype(jnp.float32)
-                        vw = 1.0 - lw
-                    per_layer = lw * lang_l + vw * img_l
-                    dloss = jnp.sum(layer_coeffs * distill_coeff * per_layer)
-                loss = loss + dloss
-            return loss
+                    per_layer = jnp.mean(jnp.mean(jnp.square(s0 - t0), axis=-1), axis=-1)
+                dloss = jnp.sum(layer_coeffs * distill_coeff * per_layer)
+            else:
+                lang_l = _masked_token_loss(s_sel, t_sel, lang_mask[None], loss_kind)  # [Ld]
+                img_l = _masked_token_loss(s_sel, t_sel, image_mask[None], loss_kind)
+                if strategy == "equal":
+                    # token-count-proportional (dl_weights.py:148-155)
+                    n_lang = jnp.sum(lang_mask).astype(jnp.float32)
+                    n_img = jnp.sum(image_mask).astype(jnp.float32)
+                    lw = jnp.full((len(layers_arr),), n_lang / (n_lang + n_img))
+                    vw = jnp.full((len(layers_arr),), n_img / (n_lang + n_img))
+                else:  # balanced / adaptive: externally supplied coefficients
+                    lw = lang_coeffs.astype(jnp.float32)
+                    vw = 1.0 - lw
+                per_layer = lw * lang_l + vw * img_l
+                dloss = jnp.sum(layer_coeffs * distill_coeff * per_layer)
+            loss = loss + dloss
+        return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
+    return loss_fn
+
+
+def make_distill_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    tx,
+    *,
+    attn_impl: str = "auto",
+    donate: bool = True,
+) -> Callable:
+    """Fused student+teacher replay step for featdistill/MAFED:
+    step(state, teacher_trainable, batch, lang_coeffs)."""
+    loss_fn = make_distill_loss_fn(model_cfg, train_cfg, attn_impl=attn_impl)
+
+    def step(state: TrainState, teacher_trainable, batch, lang_coeffs):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.trainable, state.frozen, teacher_trainable, batch, lang_coeffs
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax_apply_updates(state.trainable, updates)
         new_state = TrainState(state.step + 1, trainable, state.frozen, opt_state)
-        return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads)}
+        return new_state, {"loss": loss, "grad_norm": _grad_norm_metric(grads, opt_state)}
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_mafed_window_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    tx,
+    *,
+    n_ce: int,
+    attn_impl: str = "auto",
+    donate: bool = True,
+    fuse_ce_batch: bool = True,
+    share_vision: bool = True,
+    remat_ce: bool = True,
+    remat_student: bool = True,
+) -> Callable:
+    """One jit step = a FULL accumulation window of the MAFED workload:
+    n_ce current-task CE microbatches + 1 distill (memory) microbatch, mean
+    of the per-microbatch gradients, ONE optimizer update.
+
+    This is the reference's real cadence — accumulate_grad_batches=4 with
+    every replay_interval-th microbatch replaced by the memory batch
+    (vqa_cont_learner.py:216-218 under PL gradient accumulation, which
+    averages microbatch gradients) — fused into a single XLA program, so the
+    optimizer update, grad-norm reduction and host dispatch are paid once per
+    window instead of once per microbatch.
+
+    step(state, teacher_trainable, ce_batches, distill_batch, lang_coeffs)
+    where ce_batches is a batch pytree with a leading [n_ce] microbatch dim.
+
+    fuse_ce_batch=True evaluates the n_ce CE microbatches as ONE forward at
+    n_ce*batch rows (mean-of-means == mean over the concatenated batch since
+    all microbatches share a size, and per-sample losses are already
+    length-normalized) — larger matmul rows fill the MXU better than n_ce
+    sequential passes. Falls back to a lax.scan over microbatches when False
+    (lower peak activation memory).
+
+    share_vision=True (requires fuse_ce_batch) additionally runs the frozen
+    EVA-02 tower ONCE over every image in the window (n_ce*b CE + b memory
+    images in one batched pass) — the features are constants w.r.t. the
+    trainable params (the projector applies inside the differentiated
+    forward), so they are computed outside both grads and split.
+    """
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    # remat_student: the window holds the CE pass AND the distill pass in one
+    # program; per-layer remat on the student drops its ~20x residuals too,
+    # leaving the peak at args + ONE grads buffer + layer carries
+    distill_loss_fn = make_distill_loss_fn(
+        model_cfg, train_cfg, attn_impl=attn_impl, remat_student=remat_student
+    )
+    denom = float(n_ce + 1)
+    share_vision = share_vision and fuse_ce_batch
+
+    def step(state: TrainState, teacher_trainable, ce_batches, distill_batch, lang_coeffs):
+        ce_patches = distill_patches = None
+        if share_vision:
+            merged_px = ce_batches["pixels"].reshape((-1,) + ce_batches["pixels"].shape[2:])
+            all_px = _prep_pixels(
+                {"pixels": jnp.concatenate([merged_px, distill_batch["pixels"]], axis=0)},
+                model_cfg, dtype,
+            )
+            all_patches = vl_pythia.get_patch_embeddings(
+                merge_params(state.trainable, state.frozen), model_cfg, all_px,
+                dtype=dtype, attn_impl="xla",
+            )
+            n_merged = merged_px.shape[0]
+            ce_patches = all_patches[:n_merged]
+            distill_patches = all_patches[n_merged:]
+
+        def ce_loss_fn(trainable, mb):
+            # remat_ce: per-layer remat keeps the n_ce*b-row CE pass's
+            # residuals at [L, B, T, H] bf16 so the fused window fits in HBM
+            # alongside the distill pass (~1 extra decoder fwd per window)
+            return _ce_loss(
+                trainable, state.frozen, model_cfg, mb, dtype, attn_impl,
+                remat=train_cfg.remat or remat_ce, patches=ce_patches,
+            )
+
+        def window_loss(trainable):
+            # ONE loss, ONE backward: separate value_and_grad calls would
+            # keep two full f32 grad pytrees (plus the combined tree) live
+            # at once — measured OOM at 410M; the combined loss lets XLA
+            # run bwd(distill) then bwd(CE) into a single grads buffer.
+            if fuse_ce_batch:
+                merged = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), ce_batches)
+                ce_loss = ce_loss_fn(trainable, merged)
+            else:
+                def body(loss_sum, mb):
+                    return loss_sum + ce_loss_fn(trainable, mb), None
+
+                ce_loss_sum_s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), ce_batches)
+                ce_loss = ce_loss_sum_s / n_ce
+            d_loss = distill_loss_fn(
+                trainable, state.frozen, teacher_trainable, distill_batch,
+                lang_coeffs, distill_patches,
+            )
+            total = (n_ce * ce_loss + d_loss) / denom
+            return total, (ce_loss, d_loss)
+
+        (loss, (ce_loss, d_loss)), grads = jax.value_and_grad(window_loss, has_aux=True)(
+            state.trainable
+        )
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax_apply_updates(state.trainable, updates)
+        new_state = TrainState(state.step + 1, trainable, state.frozen, opt_state)
+        metrics = {
+            "loss": loss,
+            "ce_loss": ce_loss,
+            "distill_loss": d_loss,
+            "grad_norm": _grad_norm_metric(grads, opt_state),
+        }
+        return new_state, metrics
 
     donate_args = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
