@@ -38,6 +38,22 @@ def test_naive_sequence(tmp_path):
     assert os.path.exists(os.path.join(cfg.output_dir, "log", "hps.json"))
     assert os.path.exists(os.path.join(cfg.output_dir, "log", "results.json"))
 
+    # CKA sweep CLI over the finished run's checkpoints (VERDICT r1 #6;
+    # reference capability: analysis/get_average_CKA_per_layer.py)
+    from mafed_tpu.analysis.sweep import main as sweep_main
+
+    report = sweep_main([
+        "--experiment_dir", cfg.output_dir,
+        "--max_batches", "2",
+        "--synthetic_images",
+    ])
+    n_layers_plus = len(report["layers"])
+    assert n_layers_plus >= 3  # embeddings + per-layer taps
+    assert len(report["avg_text_cka"]) == n_layers_plus
+    assert all(0.0 <= v <= 1.0 + 1e-6 for v in report["avg_text_cka"])
+    assert all(0.0 <= v <= 1.0 + 1e-6 for v in report["avg_image_cka"])
+    assert os.path.exists(os.path.join(cfg.output_dir, "log", "cka_report.json"))
+
 
 @pytest.mark.slow
 def test_replay_sequence(tmp_path):
