@@ -12,7 +12,7 @@ import math
 import os
 import subprocess
 import threading
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
@@ -48,12 +48,6 @@ class NativeImageEngine:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
-        self._lib.mafed_decode_batch.restype = None
-        self._lib.mafed_decode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-        ]
         assert self._lib.mafed_engine_version() == 1
 
     def decode(self, path: str, target: int, crop_pct: float = 0.9) -> np.ndarray:
@@ -65,23 +59,6 @@ class NativeImageEngine:
         )
         if rc != 0:
             raise IOError(f"native decode failed ({rc}) for {path}")
-        return out
-
-    def decode_batch(self, paths: Sequence[str], target: int, crop_pct: float = 0.9, threads: int = 0) -> np.ndarray:
-        n = len(paths)
-        scale_size = int(math.floor(target / crop_pct))
-        out = np.empty((n, target, target, 3), np.uint8)
-        status = np.zeros((n,), np.int32)
-        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-        self._lib.mafed_decode_batch(
-            arr, n, target, scale_size,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            threads,
-        )
-        bad = np.nonzero(status)[0]
-        if len(bad):
-            raise IOError(f"native decode failed for {[paths[i] for i in bad[:3]]}")
         return out
 
 

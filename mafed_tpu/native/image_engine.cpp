@@ -1,11 +1,11 @@
 // mafed-tpu native data engine: JPEG/PNG decode + antialiased bicubic
-// resize + center crop, multithreaded batch API.
+// resize + center crop.
 //
 // TPU-native replacement for the reference's per-worker PIL/torchvision
 // preprocessing (mafed/train.py:95-104, vl_pythia_vqa_dataset.py:66-71):
 // the host-side image path is the throughput bottleneck once the train
 // step is a single fused XLA program, so decode+resize runs here in C++
-// with a persistent thread pool, emitting uint8 HWC ready for the
+// emitting uint8 HWC ready for the
 // on-device normalize (data/images.py make_normalizer).
 //
 // Geometry matches the Python path: bicubic (a=-0.5, PIL-style kernel
@@ -14,7 +14,6 @@
 //
 // Exports (C ABI, used via ctypes):
 //   mafed_decode_file     — one image file -> uint8 HWC buffer
-//   mafed_decode_batch    — N image files in parallel
 //   mafed_engine_version
 
 #include <cstddef>
@@ -24,17 +23,11 @@
 #include <png.h>
 
 #include <algorithm>
-#include <atomic>
 #include <cmath>
-#include <condition_variable>
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <functional>
-#include <mutex>
-#include <queue>
-#include <thread>
 #include <vector>
 
 namespace {
@@ -292,56 +285,6 @@ int process_one(const char* path, int target, int scale_size, uint8_t* out_buf) 
   return 0;
 }
 
-// ------------------------------------------------------- thread pool ------
-class ThreadPool {
- public:
-  explicit ThreadPool(int n) {
-    for (int i = 0; i < n; ++i) {
-      workers_.emplace_back([this] { loop(); });
-    }
-  }
-  ~ThreadPool() {
-    {
-      std::unique_lock<std::mutex> lk(mu_);
-      done_ = true;
-    }
-    cv_.notify_all();
-    for (auto& t : workers_) t.join();
-  }
-  void submit(std::function<void()> fn) {
-    {
-      std::unique_lock<std::mutex> lk(mu_);
-      queue_.push(std::move(fn));
-    }
-    cv_.notify_one();
-  }
-
- private:
-  void loop() {
-    for (;;) {
-      std::function<void()> fn;
-      {
-        std::unique_lock<std::mutex> lk(mu_);
-        cv_.wait(lk, [this] { return done_ || !queue_.empty(); });
-        if (done_ && queue_.empty()) return;
-        fn = std::move(queue_.front());
-        queue_.pop();
-      }
-      fn();
-    }
-  }
-  std::vector<std::thread> workers_;
-  std::queue<std::function<void()>> queue_;
-  std::mutex mu_;
-  std::condition_variable cv_;
-  bool done_ = false;
-};
-
-ThreadPool* global_pool(int threads) {
-  static ThreadPool* pool = new ThreadPool(threads > 0 ? threads : int(std::thread::hardware_concurrency()));
-  return pool;
-}
-
 }  // namespace
 
 extern "C" {
@@ -351,28 +294,6 @@ int mafed_engine_version() { return 1; }
 // Decode one file into out (target*target*3 uint8 HWC). Returns 0 on success.
 int mafed_decode_file(const char* path, int target, int scale_size, uint8_t* out) {
   return process_one(path, target, scale_size, out);
-}
-
-// Decode n files in parallel into out (n*target*target*3). status: per-file
-// return codes. threads<=0 -> hardware concurrency.
-void mafed_decode_batch(const char** paths, int n, int target, int scale_size,
-                        uint8_t* out, int* status, int threads) {
-  ThreadPool* pool = global_pool(threads);
-  std::atomic<int> remaining(n);
-  std::mutex mu;
-  std::condition_variable cv;
-  const size_t stride = size_t(target) * target * 3;
-  for (int i = 0; i < n; ++i) {
-    pool->submit([&, i] {
-      status[i] = process_one(paths[i], target, scale_size, out + stride * i);
-      if (remaining.fetch_sub(1) == 1) {
-        std::unique_lock<std::mutex> lk(mu);
-        cv.notify_one();
-      }
-    });
-  }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return remaining.load() == 0; });
 }
 
 }  // extern "C"

@@ -53,14 +53,6 @@ def test_native_matches_pil_geometry_and_values(engine, sample_images):
         assert diff.max() <= max_tol[name], f"{name}: max diff {diff.max()}"
 
 
-def test_batch_decode_matches_single(engine, sample_images):
-    paths = list(sample_images.values()) * 3
-    batch = engine.decode_batch(paths, 224)
-    assert batch.shape == (len(paths), 224, 224, 3)
-    single = engine.decode(paths[0], 224)
-    np.testing.assert_array_equal(batch[0], single)
-
-
 def test_missing_file_raises(engine):
     with pytest.raises(IOError):
         engine.decode("/nonexistent/file.jpg", 224)
