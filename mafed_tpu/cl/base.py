@@ -38,6 +38,30 @@ class CLStrategy:
         """Default: the runner's plain CE step."""
         return runner.ce_step(state, batch)
 
+    # -- fused accumulation windows -------------------------------------------
+    def supports_fused_window(self, window: int) -> bool:
+        """Whether the replay cadence folds into fixed windows of `window`
+        microbatches (trainer/runner.py window mode). CE-only strategies and
+        ER always fold (every position is a CE batch); strategies whose
+        replay step is NOT plain CE must override."""
+        return True
+
+    def window_batches(self, runner, idx_batches):
+        """Map one window's (batch_idx, device_batch) list to CE batches,
+        substituting memory batches at replay positions (the reference
+        REPLACES the task batch, vqa_cont_learner.py:216-218)."""
+        return [
+            self.next_memory_batch() if self.is_replay_batch(i) else b
+            for i, b in idx_batches
+        ]
+
+    def window_step(self, runner, state, idx_batches):
+        """One optimizer update over a full accumulation window."""
+        return runner.ce_window_step(state, runner.stack_window(self.window_batches(runner, idx_batches)))
+
+    def next_memory_batch(self):
+        raise NotImplementedError
+
     # -- task-level ---------------------------------------------------------
     def update(self, runner, state, dataset, loader) -> None:
         """After finishing a task, before evaluating (train.py:206-213)."""

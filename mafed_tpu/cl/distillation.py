@@ -60,6 +60,32 @@ class FeatureDistillation(CLStrategy):
             state, self.teacher_trainable, batch, jnp.asarray(self.lang_coeff)
         )
 
+    def next_memory_batch(self):
+        return next(self._mem_iter)
+
+    def supports_fused_window(self, window: int) -> bool:
+        """The fused MAFED window step holds exactly window-1 CE microbatches
+        + 1 distill microbatch, so each window may contain at most one replay
+        position: replay_interval >= window (the canonical config has
+        replay_interval == accumulate_grad_batches == 4)."""
+        return self.config.replay_interval >= window
+
+    def window_step(self, runner, state, idx_batches):
+        replay_positions = [j for j, (i, _) in enumerate(idx_batches) if self.is_replay_batch(i)]
+        if not replay_positions:  # task 0 (no teacher) or an off-cadence window
+            batches = [b for _, b in idx_batches]
+            return runner.ce_window_step(state, runner.stack_window(batches))
+        ce_batches = [b for j, (_, b) in enumerate(idx_batches) if j not in replay_positions]
+        # gradient averaging is position-independent, so the distill batch's
+        # slot inside the window doesn't matter
+        return runner.mafed_window_step(
+            state,
+            self.teacher_trainable,
+            runner.stack_window(ce_batches),
+            self.next_memory_batch(),
+            jnp.asarray(self.lang_coeff),
+        )
+
     # -- task transitions -------------------------------------------------------
     def update(self, runner, state, dataset, loader) -> None:
         """Teacher <- finished model; memory += subset; adaptive weights."""

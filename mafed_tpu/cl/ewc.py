@@ -42,6 +42,12 @@ class EWC(CLStrategy):
             return runner.ewc_step(state, batch, self.ewc_state)
         return runner.ce_step(state, batch)
 
+    def window_step(self, runner, state, idx_batches):
+        stacked = runner.stack_window(self.window_batches(runner, idx_batches))
+        if self.ewc_state is not None:
+            return runner.ewc_window_step(state, stacked, self.ewc_state)
+        return runner.ce_window_step(state, stacked)
+
     def update(self, runner, state, dataset, loader) -> None:
         """Estimate Fisher over the finished task's loader (ewc.py:53-103)."""
         LOGGER.info("EWC: computing importances over %d batches", len(loader))

@@ -214,6 +214,12 @@ class TrainConfig:
     text_pad_multiple: int = 16  # bucket question lengths for shape stability
     val_max_batches: Optional[int] = None
     remat: bool = False
+    # fuse each gradient-accumulation window into ONE jit step (training/
+    # step.py window steps): numerically equivalent to optax.MultiSteps over
+    # the microbatches (tested) but pays one optimizer update + dispatch per
+    # window. Falls back to per-microbatch MultiSteps when a strategy's
+    # replay cadence can't fold into windows (replay_interval < accum).
+    fused_window: bool = True
     log_every: int = 50
     profile_dir: Optional[str] = None  # capture a jax.profiler trace of steps 10-20
 

@@ -56,6 +56,16 @@ class MetricsLogger:
                 import wandb  # type: ignore
 
                 self._wandb = wandb.init(project=project, entity=entity, group=group, name=name)
+                # custom x-axes (reference logger.py:62-73): train metrics
+                # plot against the offset global step, the CL summary metrics
+                # against the validation step (task index)
+                if getattr(self._wandb, "define_metric", None):
+                    self._wandb.define_metric("trainer/global_step")
+                    self._wandb.define_metric("*", step_metric="trainer/global_step", step_sync=True)
+                    self._wandb.define_metric(
+                        "average_accuracy", step_metric="trainer/valid_step", step_sync=True
+                    )
+                    self._wandb.define_metric("BWT", step_metric="trainer/valid_step", step_sync=True)
             except Exception as exc:  # pragma: no cover - depends on env
                 LOGGER.warning("wandb unavailable (%s); logging to %s", exc, self._jsonl_path)
 
@@ -74,7 +84,13 @@ class MetricsLogger:
         with open(self._jsonl_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         if self._wandb is not None:
-            self._wandb.log({k: v for k, v in record.items() if not k.startswith("_")}, step=logical_step)
+            payload = {k: v for k, v in record.items() if not k.startswith("_")}
+            # log the step-axis key alongside the metrics (logger.py:84-94)
+            # so the define_metric axes above resolve
+            if logical_step is not None:
+                axis = "trainer/valid_step" if is_valid_step else "trainer/global_step"
+                payload[axis] = logical_step
+            self._wandb.log(payload)
 
     def finish(self) -> None:
         if self._wandb is not None:

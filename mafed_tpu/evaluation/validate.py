@@ -52,6 +52,28 @@ def validate_vqa(
     results: Dict = {}
     metric = VQAGenerativeAccuracy()
 
+    def score(toks_dev, batch, n_valid):
+        nonlocal n_ex
+        # the host sync point: materialize the (already dispatched) tokens
+        toks = np.asarray(toks_dev)[:n_valid]
+        predictions = tokenizer.batch_decode(toks, skip_special_tokens=True)
+        answers = batch["answers"][:n_valid]
+        metric(predictions, answers)
+        from collections import Counter
+
+        for qid, pred, gts in zip(batch["qids"][:n_valid], predictions, answers):
+            pred_norm = normalize_answer(pred)
+            results[qid] = {
+                "answer": pred_norm,
+                "acc": vqa_v2_score(Counter(gts).get(pred_norm, 0)),
+            }
+        n_ex += n_valid
+
+    # Decode dispatch is async: batch i+1's generation is enqueued on the
+    # device BEFORE batch i's tokens are pulled to the host for scoring, so
+    # tokenizer decode + metric work overlap device compute (the reference
+    # loop syncs every batch, eval_utils.py:170-179).
+    pending = None
     for i, batch in enumerate(val_loader):
         if max_batches is not None and i >= max_batches:
             break
@@ -59,19 +81,12 @@ def validate_vqa(
         dec_batch = {k: padded[k] for k in ("input_ids", "attention_mask", "pixels")}
         if sharding is not None:
             dec_batch = {k: jax.device_put(v, sharding) for k, v in dec_batch.items()}
-        toks = np.asarray(decoder(params, dec_batch))[:n_valid]
-        predictions = tokenizer.batch_decode(toks, skip_special_tokens=True)
-        answers = batch["answers"][:n_valid]
-        metric(predictions, answers)
-        for qid, pred, gts in zip(batch["qids"][:n_valid], predictions, answers):
-            pred_norm = normalize_answer(pred)
-            from collections import Counter
-
-            results[qid] = {
-                "answer": pred_norm,
-                "acc": vqa_v2_score(Counter(gts).get(pred_norm, 0)),
-            }
-        n_ex += n_valid
+        toks_dev = decoder(params, dec_batch)
+        if pending is not None:
+            score(*pending)
+        pending = (toks_dev, batch, n_valid)
+    if pending is not None:
+        score(*pending)
 
     tot_time = max(time.time() - start, 1e-9)
     # multi-process DP eval: every process scored its shard; reduce sums

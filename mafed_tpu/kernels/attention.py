@@ -528,6 +528,11 @@ def _make_flash(causal: bool, scale: float, block_q: int, block_k: int, use_mask
 # Public dispatcher
 # ---------------------------------------------------------------------------
 
+# default flash block sizes; benchmarks (scripts/bench_sweep.py) may override
+_DEFAULT_BLOCK_Q = 128
+_DEFAULT_BLOCK_K = 128
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -538,8 +543,8 @@ def dot_product_attention(
     causal_offset=None,
     scale: Optional[float] = None,
     impl: str = "auto",
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ) -> jax.Array:
     """Attention with [B, H, T, D] layout.
 
@@ -548,6 +553,8 @@ def dot_product_attention(
     """
     head_dim = q.shape[-1]
     scale_f = float((head_dim ** -0.5) if scale is None else scale)
+    block_q = _DEFAULT_BLOCK_Q if block_q is None else block_q
+    block_k = _DEFAULT_BLOCK_K if block_k is None else block_k
 
     q_len, kv_len = q.shape[2], k.shape[2]
     # "auto" on TPU = the Pallas flash kernel. XLA's fused attention is ~25%

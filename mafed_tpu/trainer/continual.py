@@ -178,7 +178,7 @@ class ContinualLearningTrainer:
 
             if task_id >= cfg.start_task_idx:
                 trainable, _ = split_params(params)
-                self.runner.setup_task_optimizer(len(train_dataset), trainable)
+                self.runner.setup_task_optimizer(len(train_dataset), trainable, strategy=strategy)
                 state = self.runner.init_state(params)
                 strategy.update_after_new_task(self.runner, state, train_dataset)
                 resume_dir = os.path.join(cfg.output_dir, "resume")

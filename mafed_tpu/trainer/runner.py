@@ -33,8 +33,10 @@ from mafed_tpu.evaluation.validate import validate_vqa
 from mafed_tpu.optim.optimizer import build_optimizer, set_schedule
 from mafed_tpu.training.step import (
     make_adaptive_weights_fn,
+    make_ce_window_step,
     make_distill_step,
     make_ewc_fisher_fn,
+    make_mafed_window_step,
     make_train_step,
 )
 from mafed_tpu.training.train_state import TrainState, split_params
@@ -81,6 +83,17 @@ class TaskRunner:
         self.ce_step: Optional[Callable] = None
         self._ewc_step: Optional[Callable] = None
         self._distill_step: Optional[Callable] = None
+        self._ce_window_step: Optional[Callable] = None
+        self._ewc_window_step: Optional[Callable] = None
+        self._mafed_window_step: Optional[Callable] = None
+        # accumulation-window fusion: microbatches per jit step (1 = the
+        # per-microbatch optax.MultiSteps path)
+        self.window = 1
+        self._window_sharding = (
+            None
+            if mesh is None
+            else jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+        )
         self.tx = None
 
     # -- loaders -------------------------------------------------------------
@@ -113,7 +126,9 @@ class TaskRunner:
         return DevicePrefetcher(loader, sharding=self._batch_sharding)
 
     # -- optimizer / state -----------------------------------------------------
-    def setup_task_optimizer(self, dataset_size: int, trainable_template: Dict[str, Any]) -> None:
+    def setup_task_optimizer(
+        self, dataset_size: int, trainable_template: Dict[str, Any], strategy=None
+    ) -> None:
         """Set the task's schedule horizon; build the optax chain ONCE.
 
         Reproduces the reference's warmup quirk faithfully: the schedule's
@@ -122,6 +137,11 @@ class TaskRunner:
         warmup_perc of that. The horizon lives in ScheduleState inside the
         optimizer state, so the jitted steps compile once and are reused
         for every task (recompiling a 400M-param step costs minutes).
+
+        With config.fused_window (and a strategy whose replay cadence folds,
+        CLStrategy.supports_fused_window) each accumulation window runs as
+        ONE jit step on the raw optax chain; otherwise microbatch steps run
+        under optax.MultiSteps. Both apply the optimizer once per window.
         """
         batches_per_epoch = dataset_size // self.config.batch_size
         accum = max(1, self.config.accumulate_grad_batches)
@@ -131,11 +151,23 @@ class TaskRunner:
         self._sched = (warmup_steps, total_steps)
 
         if self.tx is None:
+            # strategy=None (direct runner use, e.g. tests driving ce_step
+            # themselves) keeps the MultiSteps path — fused windows change
+            # what ce_step means per call
+            fused = (
+                self.config.fused_window
+                and accum > 1
+                and strategy is not None
+                and strategy.supports_fused_window(accum)
+            )
+            self.window = accum if fused else 1
             tx = build_optimizer(self.config, trainable_template)
-            if accum > 1:
+            if accum > 1 and not fused:
                 tx = optax.MultiSteps(tx, every_k_schedule=accum)
             self.tx = tx
             self.ce_step = make_train_step(self.model_cfg, self.config, tx, attn_impl=self.attn_impl)
+            if fused:
+                LOGGER.info("fused accumulation windows: %d microbatches/step", accum)
 
     def ewc_step(self, state, batch, ewc_state):
         if self._ewc_step is None:
@@ -150,6 +182,37 @@ class TaskRunner:
                 self.model_cfg, self.config, self.tx, attn_impl=self.attn_impl
             )
         return self._distill_step(state, teacher_trainable, batch, lang_coeffs)
+
+    # -- fused accumulation windows ---------------------------------------------
+    def stack_window(self, batches):
+        """Stack a window's device batches along a new leading microbatch dim,
+        re-laid-out so the batch dim stays sharded over 'data' under a mesh."""
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        if self._window_sharding is not None:
+            stacked = jax.device_put(stacked, self._window_sharding)
+        return stacked
+
+    def ce_window_step(self, state, stacked):
+        if self._ce_window_step is None:
+            self._ce_window_step = make_ce_window_step(
+                self.model_cfg, self.config, self.tx, attn_impl=self.attn_impl
+            )
+        return self._ce_window_step(state, stacked)
+
+    def ewc_window_step(self, state, stacked, ewc_state):
+        if self._ewc_window_step is None:
+            self._ewc_window_step = make_ce_window_step(
+                self.model_cfg, self.config, self.tx, with_ewc=True, attn_impl=self.attn_impl
+            )
+        return self._ewc_window_step(state, stacked, ewc_state)
+
+    def mafed_window_step(self, state, teacher_trainable, ce_stacked, distill_batch, lang_coeffs):
+        if self._mafed_window_step is None:
+            self._mafed_window_step = make_mafed_window_step(
+                self.model_cfg, self.config, self.tx,
+                n_ce=self.window - 1, attn_impl=self.attn_impl,
+            )
+        return self._mafed_window_step(state, teacher_trainable, ce_stacked, distill_batch, lang_coeffs)
 
     def adaptive_weights_step(self, trainable, frozen, batch):
         if self._adaptive_fn is None:
@@ -261,20 +324,43 @@ class TaskRunner:
             epoch_start = time.time()
             n_seen = 0
             loader.set_epoch(epoch)
+            profiling = False
+            window_buf = []
+            last_logged = global_step
             for batch_idx, batch in enumerate(self.device_batches(loader)):
                 if self.config.profile_dir and task_id == 0 and epoch == 0 and batch_idx == 10:
                     jax.profiler.start_trace(self.config.profile_dir)
-                if strategy.is_replay_batch(batch_idx):
+                    profiling = True
+                if self.window > 1:
+                    # fused accumulation windows: one jit step per window; a
+                    # trailing partial window (< window microbatches at epoch
+                    # end) is dropped — MultiSteps would instead carry it
+                    # into the next epoch's accumulation
+                    window_buf.append((batch_idx, batch))
+                    if len(window_buf) < self.window:
+                        continue
+                    state, m = strategy.window_step(self, state, window_buf)
+                    window_buf = []
+                    n_seen += self.config.batch_size * self.window
+                    global_step += self.window
+                elif strategy.is_replay_batch(batch_idx):
                     state, m = strategy.replay_step(self, state)
+                    n_seen += self.config.batch_size
+                    global_step += 1
                 else:
                     state, m = strategy.train_step(self, state, batch)
-                if self.config.profile_dir and task_id == 0 and epoch == 0 and batch_idx == 20:
+                    n_seen += self.config.batch_size
+                    global_step += 1
+                if profiling and batch_idx >= 20:
                     jax.block_until_ready(m["loss"])
                     jax.profiler.stop_trace()
+                    profiling = False
                     LOGGER.info("profiler trace written to %s", self.config.profile_dir)
-                n_seen += self.config.batch_size
-                global_step += 1
-                if self.metrics is not None and global_step % self.config.log_every == 0:
+                if (
+                    self.metrics is not None
+                    and global_step - last_logged >= self.config.log_every
+                ):
+                    last_logged = global_step
                     self.metrics.log_metrics(
                         {
                             f"task_{task_id}/train_loss": float(m["loss"]),
@@ -282,6 +368,8 @@ class TaskRunner:
                         },
                         step=global_step,
                     )
+            if profiling:
+                jax.profiler.stop_trace()
             ex_per_s = n_seen / max(time.time() - epoch_start, 1e-9)
 
             val_log, _ = validate_vqa(

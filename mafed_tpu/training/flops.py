@@ -57,3 +57,27 @@ def distill_step_flops_per_example(cfg: ModelConfig, text_len: int) -> float:
 
 def mfu(examples_per_sec: float, flops_per_example: float, chip: str = "v5e") -> float:
     return examples_per_sec * flops_per_example / TPU_PEAK_FLOPS[chip]
+
+
+def reference_window_flops(cfg: ModelConfig, text_len: int, n_ce: int, batch: int) -> float:
+    """Analytic FLOPs the REFERENCE spends on one accumulation window of the
+    featdistill workload (n_ce CE microbatches + 1 distill microbatch, batch
+    rows each) — the A100-comparator workload for bench.py.
+
+    Reference semantics (what its eager loop actually computes):
+      * every microbatch runs the frozen EVA-02 tower (fwd only);
+      * distill microbatches run TWO vision passes — the teacher's forward
+        re-encodes pixel_values (methods/distillation.py:218-224 calls the
+        full model forward);
+      * lm_head logits cover the FULL 256+T sequence (vl_pythia.py:310
+        computes embed_out before slicing);
+      * the teacher fwd also produces logits (full forward, labels popped);
+      * student fwd+bwd ~ 3x fwd matmul FLOPs.
+    """
+    seq = cfg.vision.num_patches + text_len
+    dec_fwd = decoder_flops_per_token(cfg) * seq + attention_flops(cfg, seq)
+    head_full = lm_head_flops(cfg, seq)
+    vis = vision_flops_per_image(cfg)
+    ce_example = vis + 3 * (dec_fwd + head_full)
+    distill_example = 2 * vis + 3 * (dec_fwd + head_full) + (dec_fwd + head_full)
+    return batch * (n_ce * ce_example + distill_example)

@@ -131,6 +131,66 @@ def _grad_norm_metric(grads, new_opt_state) -> jax.Array:
         return optax_global_norm(grads)
 
 
+def make_ce_window_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    tx,
+    *,
+    with_ewc: bool = False,
+    attn_impl: str = "auto",
+    donate: bool = True,
+    remat: bool = True,
+) -> Callable:
+    """One jit step = a FULL accumulation window of CE microbatches (naive /
+    EWC / ER windows, including ER windows whose replay positions were
+    swapped for memory batches — all positions are plain CE).
+
+    step(state, batches, ewc_state=None) where batches is a batch pytree with
+    a leading [n_mb] microbatch dim. Equivalent to optax.MultiSteps over the
+    microbatches: per-sample losses are length-normalized and microbatches
+    share a size, so the CE mean over the concatenated n_mb*b rows equals the
+    mean of per-microbatch means (= averaged gradients), and the optimizer
+    (clip -> adamw -> schedule) applies once per window in both cases. The
+    fused form pays ONE optimizer update + grad-norm reduction per window and
+    skips MultiSteps' per-microbatch accumulator read/write (a full f32
+    gradient pytree of HBM traffic per microbatch).
+
+    attn_impl="auto" resolves to XLA attention here: the window always runs
+    per-layer remat, so no [T,T] attention residual persists across layers —
+    pallas flash's memory advantage is moot, and at VQA lengths (~336
+    tokens, head_dim 64) its many tiny kernel programs are overhead-bound
+    (profiled ~6% MXU); XLA's fused attention measured 948 -> 814 ms on the
+    MAFED window (v5e).
+    """
+    dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    if attn_impl == "auto":
+        attn_impl = "xla"
+
+    def step(state: TrainState, batches, ewc_state=None):
+        merged = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
+
+        def loss_fn(trainable):
+            # remat: the n_mb*b-row fused pass keeps per-layer residuals only
+            loss = _ce_loss(
+                trainable, state.frozen, model_cfg, merged, dtype, attn_impl,
+                remat=train_cfg.remat or remat,
+            )
+            if with_ewc and ewc_state is not None:
+                # MultiSteps adds the penalty to every microbatch loss and
+                # averages — identical to adding it once here
+                loss = loss + ewc_penalty(trainable, ewc_state, train_cfg.reg_lambda)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.trainable)
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax_apply_updates(state.trainable, updates)
+        new_state = TrainState(state.step + 1, trainable, state.frozen, opt_state)
+        return new_state, {"loss": loss, "grad_norm": _grad_norm_metric(grads, opt_state)}
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
 # ---------------------------------------------------------------------------
 # Feature distillation (MAFED)
 # ---------------------------------------------------------------------------
@@ -385,6 +445,12 @@ def make_mafed_window_step(
     forward), so they are computed outside both grads and split.
     """
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    # "auto" -> XLA attention: the window remats every differentiated layer,
+    # so pallas' residual-memory advantage is moot and XLA's fused attention
+    # is faster at VQA lengths (948 -> 814 ms measured; see
+    # make_ce_window_step docstring)
+    if attn_impl == "auto":
+        attn_impl = "xla"
     # remat_student: the window holds the CE pass AND the distill pass in one
     # program; per-layer remat on the student drops its ~20x residuals too,
     # leaving the peak at args + ONE grads buffer + layer carries

@@ -100,6 +100,48 @@ def main() -> None:
         step = make_mafed_window_step(model_cfg, cfg, tx, n_ce=3, fuse_ce_batch=True, share_vision=True)
         run("window fused CE48+distill16 sharedvis", step, state, lambda: (teacher, ce_stack, batch, lang_coeffs), 4 * b)
 
+    if "win_fused_xla" in which:
+        # XLA attention for the differentiated passes too: under per-layer
+        # remat no [T,T] residual persists across layers, so the memory
+        # argument for pallas (custom VJP keeps only o,lse) weakens — and the
+        # profile shows the pallas fwd is overhead-bound at these tiny shapes
+        cfg = TrainConfig(batch_size=b, **base_kw)
+        tx, state = fresh_state(cfg)
+        step = make_mafed_window_step(model_cfg, cfg, tx, n_ce=3, attn_impl="xla")
+        run("window fused XLA-attn", step, state, lambda: (teacher, ce_stack, batch, lang_coeffs), 4 * b)
+
+    if "win_fused_nostudentremat" in which:
+        # keep the distill student's residuals (b16 pass) instead of
+        # rematting: ~3.4GB more HBM for one fewer student fwd recompute
+        cfg = TrainConfig(batch_size=b, **base_kw)
+        tx, state = fresh_state(cfg)
+        step = make_mafed_window_step(model_cfg, cfg, tx, n_ce=3, remat_student=False)
+        run("window fused no-student-remat", step, state, lambda: (teacher, ce_stack, batch, lang_coeffs), 4 * b)
+
+    if "win_fused_block336" in which:
+        from mafed_tpu.kernels import attention as attn_mod
+
+        attn_mod._DEFAULT_BLOCK_Q = 336
+        attn_mod._DEFAULT_BLOCK_K = 336
+        cfg = TrainConfig(batch_size=b, **base_kw)
+        tx, state = fresh_state(cfg)
+        step = make_mafed_window_step(model_cfg, cfg, tx, n_ce=3)
+        run("window fused pallas block 336", step, state, lambda: (teacher, ce_stack, batch, lang_coeffs), 4 * b)
+        attn_mod._DEFAULT_BLOCK_Q = 128
+        attn_mod._DEFAULT_BLOCK_K = 128
+
+    if "win_fused_block384" in which:
+        from mafed_tpu.kernels import attention as attn_mod
+
+        attn_mod._DEFAULT_BLOCK_Q = 384
+        attn_mod._DEFAULT_BLOCK_K = 384
+        cfg = TrainConfig(batch_size=b, **base_kw)
+        tx, state = fresh_state(cfg)
+        step = make_mafed_window_step(model_cfg, cfg, tx, n_ce=3)
+        run("window fused pallas block 384", step, state, lambda: (teacher, ce_stack, batch, lang_coeffs), 4 * b)
+        attn_mod._DEFAULT_BLOCK_Q = 128
+        attn_mod._DEFAULT_BLOCK_K = 128
+
     if "win_fused_novis" in which:
         cfg = TrainConfig(batch_size=b, **base_kw)
         tx, state = fresh_state(cfg)

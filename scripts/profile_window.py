@@ -1,0 +1,140 @@
+"""Capture + summarize a TPU profile of the fused MAFED window step.
+
+Writes a jax.profiler trace of a few steady-state steps, then parses the
+xplane with the tensorboard profile plugin to print the top HLO ops by
+self-time — the data behind the kernel-optimization ledger in
+docs/ARCHITECTURE.md.
+
+Usage: PYTHONPATH=.:/root/.axon_site python scripts/profile_window.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+
+def capture(out_dir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mafed_tpu.core.config import ModelConfig, TrainConfig
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.optim.optimizer import build_optimizer
+    from mafed_tpu.optim.sched import linear_warmup_schedule
+    from mafed_tpu.training.step import make_mafed_window_step
+    from mafed_tpu.training.train_state import TrainState, split_params
+    from __graft_entry__ import _example_batch
+    import numpy as np
+
+    model_cfg = ModelConfig()
+    train_cfg = TrainConfig(
+        batch_size=16,
+        accumulate_grad_batches=1,
+        optim="adamw",
+        weight_decay=0.01,
+        adam_mu_dtype="bfloat16",
+        replay_coeff=1.0,
+        distillation_coeff=1.0,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+        distillation_layer_discount=0.5,
+    )
+    params = vl_pythia.init_params(
+        model_cfg, jax.random.PRNGKey(0), dtype=jnp.float32, vision_dtype=jnp.bfloat16
+    )
+    trainable, frozen = split_params(params)
+    teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
+    tx = build_optimizer(train_cfg, trainable, linear_warmup_schedule(5e-5, 100, 10000))
+    opt_state = tx.init(trainable)
+    state = TrainState(jnp.zeros((), jnp.int32), trainable, frozen, opt_state)
+
+    b = 16
+    batch = {k: jax.device_put(v) for k, v in _example_batch(model_cfg, b, 80).items()}
+    ce_stack = {
+        k: jax.device_put(
+            np.stack([_example_batch(model_cfg, b, 80, seed=s)[k] for s in range(3)])
+        )
+        for k in batch
+    }
+    lang_coeffs = jnp.full((model_cfg.num_hidden_layers - 1,), 0.5, jnp.float32)
+
+    step = make_mafed_window_step(model_cfg, train_cfg, tx, n_ce=3)
+    state, m = step(state, teacher, ce_stack, batch, lang_coeffs)
+    jax.block_until_ready(m["loss"])
+
+    jax.profiler.start_trace(out_dir)
+    for _ in range(3):
+        state, m = step(state, teacher, ce_stack, batch, lang_coeffs)
+    jax.block_until_ready(m["loss"])
+    jax.profiler.stop_trace()
+    print(f"trace written to {out_dir}")
+
+
+def summarize(out_dir: str, top: int = 40) -> None:
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:  # older installs
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    xplanes = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True)
+    if not xplanes:
+        print("no xplane found")
+        return
+    xplane = max(xplanes, key=os.path.getmtime)
+    for tool in ("hlo_stats", "framework_op_stats"):
+        try:
+            data, _ = rtd.xspace_to_tool_data([xplane], tool, {})
+            break
+        except Exception as exc:
+            print(f"{tool}: {exc}")
+            data = None
+    if data is None:
+        return
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", "replace")
+    lines = data.splitlines()
+    print(lines[0] if lines else "")
+    import csv
+    import io
+
+    rows = list(csv.DictReader(io.StringIO(data)))
+    if not rows:
+        print(data[:4000])
+        return
+    time_key = next(
+        (k for k in rows[0] if k and "self" in k.lower() and "time" in k.lower()), None
+    )
+    name_key = next((k for k in rows[0] if k and "name" in k.lower()), None)
+    cat_key = next((k for k in rows[0] if k and "category" in k.lower()), None)
+    if time_key is None:
+        for k in rows[0]:
+            print(k)
+        return
+
+    def val(r):
+        try:
+            return float(r[time_key])
+        except (TypeError, ValueError):
+            return 0.0
+
+    total = sum(val(r) for r in rows)
+    # roll up by category
+    cats = {}
+    for r in rows:
+        c = r.get(cat_key, "?") if cat_key else "?"
+        cats[c] = cats.get(c, 0.0) + val(r)
+    print(f"\n== by category (total {total:.1f}) ==")
+    for c, t in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"{t:12.1f}  {100*t/total:5.1f}%  {c}")
+    print(f"\n== top {top} ops by {time_key} ==")
+    for r in sorted(rows, key=val, reverse=True)[:top]:
+        print(f"{val(r):12.1f}  {100*val(r)/total:5.1f}%  {r.get(cat_key,'')}  {(r.get(name_key) or '')[:110]}")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mafed_profile"
+    if not os.environ.get("SKIP_CAPTURE"):
+        capture(out)
+    summarize(out)

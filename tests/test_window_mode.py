@@ -1,0 +1,102 @@
+"""Fused accumulation-window mode (config.fused_window) equivalence.
+
+The fused path runs one jit step per accumulation window (training/step.py
+make_ce_window_step / make_mafed_window_step); the fallback path runs
+per-microbatch steps under optax.MultiSteps. Both must produce the same
+training trajectory — verified end-to-end through the orchestrator: two
+identical tiny CL sequences, fused on/off, must land on (numerically) the
+same best checkpoints.
+
+Step-level equivalence is covered by
+tests/test_distill_step.py::test_window_step_matches_multisteps_microbatches;
+this exercises the strategy/runner wiring (replay-position substitution,
+window assembly, cadence).
+"""
+
+import numpy as np
+import pytest
+
+from tests.helpers import tiny_model_cfg, write_synthetic_vqa
+
+
+def _run(tmp_path, tag, method, fused, **overrides):
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+    from mafed_tpu.utils.checkpoint import load_task_checkpoint
+
+    cfg = write_synthetic_vqa(str(tmp_path / tag))
+    cfg = cfg.replace(
+        cl_method=method,
+        output_dir=str(tmp_path / tag / "out"),
+        accumulate_grad_batches=2,
+        fused_window=fused,
+        **overrides,
+    )
+    model_cfg = tiny_model_cfg()
+    trainer = ContinualLearningTrainer(
+        cfg, model_cfg=model_cfg, synthetic_images=True, use_mesh=False
+    )
+    trainer.main()
+    import os
+
+    last = cfg.tasks[-1]
+    params = load_task_checkpoint(
+        os.path.join(cfg.output_dir, "ckpt", f"{last}_best.safetensors"), model_cfg
+    )
+    return params, trainer.runner.window
+
+
+def _assert_params_close(a, b):
+    import jax
+
+    flat_a = jax.tree.leaves(a)
+    flat_b = jax.tree.leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        # fp-accumulation noise on ~1e-2-scale weights after several AdamW
+        # steps; the fused/MultiSteps trajectories are equivalent, not
+        # bit-identical (different reduction order)
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), np.asarray(y, np.float32), rtol=2e-3, atol=2e-4
+        )
+
+
+@pytest.mark.slow
+def test_featdistill_window_equivalence(tmp_path):
+    kw = dict(
+        cl_memory=8,
+        replay_interval=2,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+        distillation_layer_discount=0.5,
+    )
+    fused_params, window = _run(tmp_path, "fused", "featdistill", True, **kw)
+    assert window == 2  # the fused path actually engaged
+    multi_params, window = _run(tmp_path, "multi", "featdistill", False, **kw)
+    assert window == 1
+    _assert_params_close(fused_params, multi_params)
+
+
+@pytest.mark.slow
+def test_replay_window_equivalence(tmp_path):
+    kw = dict(cl_memory=8, replay_interval=2)
+    fused_params, window = _run(tmp_path, "fused", "replay", True, **kw)
+    assert window == 2
+    multi_params, window = _run(tmp_path, "multi", "replay", False, **kw)
+    assert window == 1
+    _assert_params_close(fused_params, multi_params)
+
+
+def test_featdistill_falls_back_when_cadence_unfoldable(tmp_path):
+    """replay_interval < accum: two replay positions per window — must fall
+    back to the MultiSteps path rather than silently drop a replay batch."""
+    from mafed_tpu.cl.distillation import FeatureDistillation
+
+    cfg = write_synthetic_vqa(str(tmp_path)).replace(
+        accumulate_grad_batches=4,
+        replay_interval=2,
+        cl_memory=8,
+        distillation_layer_weighing_strategy="discounted",
+    )
+    strat = FeatureDistillation(cfg, tiny_model_cfg())
+    assert not strat.supports_fused_window(4)
+    assert strat.supports_fused_window(2)
