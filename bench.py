@@ -92,7 +92,11 @@ def main() -> None:
     start = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, teacher, ce_stack, batch, lang_coeffs)
-    jax.block_until_ready(metrics["loss"])
+    # host transfer: forces completion of the full dependency chain (the
+    # remote TPU tunnel can acknowledge block_until_ready before the last
+    # dispatch finishes; steps are state-threaded so iters 1..n-1 are
+    # sequentialized regardless)
+    float(metrics["loss"])
     elapsed = time.perf_counter() - start
 
     ex_per_s = ex_per_window * iters / elapsed

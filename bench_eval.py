@@ -68,19 +68,27 @@ def main() -> None:
     )
     decoder = make_greedy_decoder(model_cfg, eos_token_id=0)
 
-    batch_np = _example_batch(model_cfg, batch=batch_size, text_len=text_len)
-    dec_batch = {
-        k: jax.device_put(batch_np[k]) for k in ("input_ids", "attention_mask", "pixels")
-    }
+    # distinct inputs per timed call: the TPU tunnel dedupes repeated
+    # dispatches of an identical computation on identical buffers, which
+    # reports absurd times (same caveat as scripts/bench_sweep.py)
+    iters = 12
+    batches = []
+    for s in range(iters):
+        batch_np = _example_batch(model_cfg, batch=batch_size, text_len=text_len, seed=s)
+        batches.append(
+            {k: jax.device_put(batch_np[k]) for k in ("input_ids", "attention_mask", "pixels")}
+        )
 
-    toks = decoder(params, dec_batch)  # compile + warmup
-    jax.block_until_ready(toks)
+    toks = decoder(params, batches[0])  # compile + warmup
+    np.asarray(toks)
 
-    iters = 20
+    # np.asarray forces the device->host transfer of the tokens — the same
+    # sync the real eval loop performs — because block_until_ready alone
+    # does not force completion of independent dispatches on the remote
+    # TPU tunnel (it reports absurd times)
     start = time.perf_counter()
-    for _ in range(iters):
-        toks = decoder(params, dec_batch)
-    jax.block_until_ready(toks)
+    for bat in batches:
+        np.asarray(decoder(params, bat))
     elapsed = time.perf_counter() - start
 
     ex_per_s = batch_size * iters / elapsed

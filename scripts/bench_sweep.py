@@ -60,14 +60,16 @@ def main() -> None:
     def run(name, step_fn, state, args_fn, ex_per_step, iters=10, sync_every_iter=False):
         t0 = time.perf_counter()
         state, m = step_fn(state, *args_fn())
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         compile_s = time.perf_counter() - t0
         start = time.perf_counter()
         for _ in range(iters):
             state, m = step_fn(state, *args_fn())
             if sync_every_iter:
-                jax.block_until_ready(m["loss"])
-        jax.block_until_ready(m["loss"])
+                float(m["loss"])
+        # host transfer forces full-chain completion (block_until_ready can
+        # return before the last remote dispatch finishes on the tunnel)
+        float(m["loss"])
         dt = (time.perf_counter() - start) / iters
         print(
             f"{name}: {dt*1e3:.1f} ms/step, {ex_per_step/dt:.2f} ex/s "
@@ -109,6 +111,24 @@ def main() -> None:
         tx, state = fresh_state(cfg)
         step = make_mafed_window_step(model_cfg, cfg, tx, n_ce=3, attn_impl="xla")
         run("window fused XLA-attn", step, state, lambda: (teacher, ce_stack, batch, lang_coeffs), 4 * b)
+
+    if "win_fused_pallas" in which:
+        # head-batched flash kernel (grid over batch, heads looped in-kernel)
+        # vs the XLA-attention default of the window step
+        cfg = TrainConfig(batch_size=b, **base_kw)
+        tx, state = fresh_state(cfg)
+        step = make_mafed_window_step(model_cfg, cfg, tx, n_ce=3, attn_impl="pallas")
+        run("window fused pallas(head-batched)", step, state, lambda: (teacher, ce_stack, batch, lang_coeffs), 4 * b)
+
+    if "win_fused_pallas_fullbwd" in which:
+        from mafed_tpu.kernels import attention as attn_mod
+
+        attn_mod._PALLAS_BWD_MODE = "always"
+        cfg = TrainConfig(batch_size=b, **base_kw)
+        tx, state = fresh_state(cfg)
+        step = make_mafed_window_step(model_cfg, cfg, tx, n_ce=3, attn_impl="pallas")
+        run("window fused pallas fwd+bwd", step, state, lambda: (teacher, ce_stack, batch, lang_coeffs), 4 * b)
+        attn_mod._PALLAS_BWD_MODE = "auto"
 
     if "win_fused_nostudentremat" in which:
         # keep the distill student's residuals (b16 pass) instead of

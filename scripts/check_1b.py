@@ -1,0 +1,106 @@
+"""1B-scale readiness check on a single TPU chip (VERDICT r1 #10).
+
+Compiles and steps the VL-Pythia-1B preset (Pythia-1B decoder: 2048 hidden,
+16 layers, 8 heads, 8192 intermediate + EVA-02-L vision) through the fused
+MAFED accumulation-window step — the heaviest training configuration — with
+per-layer remat and bf16 Adam mu, then reports step time, throughput, and
+device memory stats (peak HBM).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/check_1b.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mafed_tpu.core.config import TrainConfig, model_config_for_preset
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.optim.optimizer import build_optimizer
+    from mafed_tpu.optim.sched import linear_warmup_schedule
+    from mafed_tpu.training.flops import mfu, reference_window_flops
+    from mafed_tpu.training.step import make_mafed_window_step
+    from mafed_tpu.training.train_state import TrainState, split_params
+    from __graft_entry__ import _example_batch
+
+    model_cfg = model_config_for_preset("1b")
+    b, text_len, n_ce = 16, 80, 3
+    train_cfg = TrainConfig(
+        batch_size=b,
+        accumulate_grad_batches=1,
+        optim="adamw",
+        weight_decay=0.01,
+        adam_mu_dtype="bfloat16",
+        replay_coeff=1.0,
+        distillation_coeff=1.0,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+        distillation_layer_discount=0.5,
+    )
+
+    params = vl_pythia.init_params(
+        model_cfg, jax.random.PRNGKey(0), dtype=jnp.float32, vision_dtype=jnp.bfloat16
+    )
+    trainable, frozen = split_params(params)
+    teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(trainable))
+    print(f"trainable params: {n_params/1e9:.3f}B")
+
+    tx = build_optimizer(train_cfg, trainable, linear_warmup_schedule(5e-5, 100, 10000))
+    opt_state = tx.init(trainable)
+    state = TrainState(jnp.zeros((), jnp.int32), trainable, frozen, opt_state)
+
+    batch = {k: jax.device_put(v) for k, v in _example_batch(model_cfg, b, text_len).items()}
+    ce_stack = {
+        k: jax.device_put(
+            np.stack([_example_batch(model_cfg, b, text_len, seed=s)[k] for s in range(n_ce)])
+        )
+        for k in batch
+    }
+    lang_coeffs = jnp.full((model_cfg.num_hidden_layers - 1,), 0.5, jnp.float32)
+
+    step = make_mafed_window_step(model_cfg, train_cfg, tx, n_ce=n_ce)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, teacher, ce_stack, batch, lang_coeffs)
+    loss = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+
+    iters = 5
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, teacher, ce_stack, batch, lang_coeffs)
+    float(metrics["loss"])
+    elapsed = time.perf_counter() - start
+
+    ex_per_window = (n_ce + 1) * b
+    ex_per_s = ex_per_window * iters / elapsed
+    ref_flops = reference_window_flops(model_cfg, text_len, n_ce, b)
+    report = {
+        "preset": "1b",
+        "compile_s": round(compile_s, 1),
+        "ms_per_window": round(1e3 * elapsed / iters, 1),
+        "examples_per_sec_per_chip": round(ex_per_s, 2),
+        "tpu_mfu_vs_reference_flops": round(mfu(ex_per_s, ref_flops / ex_per_window), 3),
+        "loss": round(loss, 4),
+    }
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+            if key in stats:
+                report[key + "_gib"] = round(stats[key] / 2**30, 2)
+    except Exception:
+        pass
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
