@@ -50,17 +50,37 @@ def param_partition_spec(path: tuple, leaf, model_axis: str = "model") -> P:
     row-parallel for attn-out / 4h->h (shard input features), vocab-parallel
     embeddings. Falls back to replication for vectors and norms. XLA inserts
     the psum/all-gather collectives implied by these layouts.
+
+    Layer-stacked tensors (leading [depth] dim from the lax.scan layout:
+    weights [L, in, out], biases [L, out]) shard their FEATURE dims, never
+    the stack dim. Column-parallel biases shard with their output features;
+    row-parallel biases replicate (their outputs are psum'd).
     """
     names = "/".join(str(p) for p in path)
     ndim = getattr(leaf, "ndim", 0)
     if ndim < 2:
         return P()
-    # weights stored [in_features, out_features]
+    if "patch_embed" in names:  # conv-style [ph, pw, 3, out]; tiny — replicate
+        return P()
+    stacked = ndim >= 3 or (ndim == 2 and names.endswith("bias"))
+    is_bias = names.endswith("bias")
+
+    def col() -> P:  # shard output features (last dim)
+        return P(*([None] * (ndim - 1)), model_axis)
+
+    def row() -> P:  # shard input features (second-to-last dim); bias replicated
+        if is_bias:
+            return P()
+        return P(*([None] * (ndim - 2)), model_axis, None)
+
+    # weights stored [*, in_features, out_features]
     if any(k in names for k in ("query_key_value", "dense_h_to_4h", "w1", "w2", "q_proj", "k_proj", "v_proj", "fc1")):
-        return P(None, model_axis)
+        return col()
     if any(k in names for k in ("attention/dense", "dense_4h_to_h", "w3", "proj", "fc2")):
-        return P(model_axis, None)
+        return row()
     if "embed_in" in names or "embed_out" in names:
+        if stacked:
+            return P()
         return P(None, model_axis) if "embed_out" in names else P(model_axis, None)
     return P()
 

@@ -135,6 +135,59 @@ def test_sharded_train_step_matches_single_device(eight_devices):
 
 
 @pytest.mark.slow
+def test_tp2_window_step_1b_proportions(eight_devices):
+    """VERDICT r1 #10: exercise the (data=4, model=2) layout at 1B-like
+    proportions — Pythia-1B ratios (8 heads, intermediate = 4x hidden,
+    parallel residual) scaled down — through the fused MAFED window step,
+    with QKV/MLP weights sharded over 'model' and the batch over 'data'."""
+    from __graft_entry__ import _example_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mafed_tpu.core.config import ModelConfig, TrainConfig, VisionConfig
+    from mafed_tpu.core.mesh import shard_params
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.optim.optimizer import build_optimizer
+    from mafed_tpu.optim.sched import linear_warmup_schedule
+    from mafed_tpu.training.step import make_mafed_window_step
+    from mafed_tpu.training.train_state import TrainState, split_params
+    import numpy as np
+
+    # Pythia-1B proportions: heads=8, intermediate=4*hidden, layers shrunk
+    model_cfg = ModelConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2, num_attention_heads=8,
+        intermediate_size=256, rotary_pct=0.25,
+        vision=VisionConfig(img_size=28, patch_size=14, embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0),
+    )
+    train_cfg = TrainConfig(
+        batch_size=4, accumulate_grad_batches=1, optim="adamw", weight_decay=0.01,
+        replay_coeff=1.0, distillation_coeff=1.0,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+    )
+    mesh = make_mesh((4, 2), ("data", "model"))
+    params = shard_params(vl_pythia.init_params(model_cfg, jax.random.PRNGKey(0)), mesh)
+    trainable, frozen = split_params(params)
+    teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
+    tx = build_optimizer(train_cfg, trainable, linear_warmup_schedule(1e-3, 2, 100))
+    state = TrainState(jnp.zeros((), jnp.int32), trainable, frozen, tx.init(trainable))
+
+    sh = batch_sharding(mesh)
+    wsh = NamedSharding(mesh, P(None, "data"))
+    batch = {k: jax.device_put(v, sh) for k, v in _example_batch(model_cfg, 4, 16).items()}
+    ce_stack = {
+        k: jax.device_put(
+            np.stack([_example_batch(model_cfg, 4, 16, seed=s)[k] for s in range(3)]), wsh
+        )
+        for k in batch
+    }
+    lang_coeffs = jnp.full((model_cfg.num_hidden_layers - 1,), 0.5, jnp.float32)
+
+    step = make_mafed_window_step(model_cfg, train_cfg, tx, n_ce=3, donate=False)
+    _, m = step(state, teacher, ce_stack, batch, lang_coeffs)
+    assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.slow
 def test_dp8_two_fit_steps_and_validate_match_single_device(eight_devices):
     """VERDICT r1 #3 done-criterion: 2 train steps + 1 generative validate
     under dp=8 must match the single-device numbers for the same global
