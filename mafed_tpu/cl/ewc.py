@@ -59,11 +59,16 @@ class EWC(CLStrategy):
             total += bsz
         importances = jax.tree.map(lambda x: x / max(total, 1), importances)
 
+        # stored dtype: f32 fisher+anchor = 2x model size in HBM; bf16 halves
+        # it (needed at 1B next to Adam state) — the penalty still reduces
+        # in f32 (training/step.ewc_penalty upcasts)
+        store = jnp.bfloat16 if self.config.ewc_state_dtype == "bfloat16" else jnp.float32
         if self.online and self.fisher is not None and self.task_id >= 1:
             self.fisher = jax.tree.map(
-                lambda new, old: new + self.online_factor * old, importances, self.fisher
+                lambda new, old: (new + self.online_factor * old.astype(jnp.float32)).astype(store),
+                importances, self.fisher,
             )
         else:
-            self.fisher = importances
-        self.old_params = jax.tree.map(lambda p: p.astype(jnp.float32), state.trainable)
+            self.fisher = jax.tree.map(lambda x: x.astype(store), importances)
+        self.old_params = jax.tree.map(lambda p: p.astype(store), state.trainable)
         self.task_id += 1

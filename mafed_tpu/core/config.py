@@ -170,6 +170,11 @@ class TrainConfig:
     tasks: Optional[list] = None
     cl_method: str = "naive"
     reg_lambda: float = 1.0
+    # EWC Fisher + anchor params dtype. f32 doubles the model size in HBM
+    # (fisher + old params); "bfloat16" halves it — required headroom at the
+    # 1B scale, where f32 EWC state (~8GB) cannot sit next to Adam state on
+    # a 16GB chip. The penalty is still accumulated in f32.
+    ewc_state_dtype: str = "float32"
     cl_memory: int = 4000
     replay_coeff: float = 1.0
     replay_interval: int = 4

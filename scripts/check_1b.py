@@ -68,30 +68,58 @@ def main() -> None:
 
     step = make_mafed_window_step(model_cfg, train_cfg, tx, n_ce=n_ce)
 
-    t0 = time.perf_counter()
-    state, metrics = step(state, teacher, ce_stack, batch, lang_coeffs)
-    loss = float(metrics["loss"])
-    compile_s = time.perf_counter() - t0
-    assert np.isfinite(loss), f"non-finite loss {loss}"
-
-    iters = 5
-    start = time.perf_counter()
-    for _ in range(iters):
+    report = {"preset": "1b", "train_batch": b}
+    try:
+        t0 = time.perf_counter()
         state, metrics = step(state, teacher, ce_stack, batch, lang_coeffs)
-    float(metrics["loss"])
-    elapsed = time.perf_counter() - start
+        loss = float(metrics["loss"])
+        compile_s = time.perf_counter() - t0
+        assert np.isfinite(loss), f"non-finite loss {loss}"
 
-    ex_per_window = (n_ce + 1) * b
-    ex_per_s = ex_per_window * iters / elapsed
-    ref_flops = reference_window_flops(model_cfg, text_len, n_ce, b)
-    report = {
-        "preset": "1b",
-        "compile_s": round(compile_s, 1),
-        "ms_per_window": round(1e3 * elapsed / iters, 1),
-        "examples_per_sec_per_chip": round(ex_per_s, 2),
-        "tpu_mfu_vs_reference_flops": round(mfu(ex_per_s, ref_flops / ex_per_window), 3),
-        "loss": round(loss, 4),
-    }
+        iters = 5
+        start = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, teacher, ce_stack, batch, lang_coeffs)
+        float(metrics["loss"])
+        elapsed = time.perf_counter() - start
+
+        ex_per_window = (n_ce + 1) * b
+        ex_per_s = ex_per_window * iters / elapsed
+        ref_flops = reference_window_flops(model_cfg, text_len, n_ce, b)
+        report.update(
+            train="ok",
+            compile_s=round(compile_s, 1),
+            ms_per_window=round(1e3 * elapsed / iters, 1),
+            examples_per_sec_per_chip=round(ex_per_s, 2),
+            tpu_mfu_vs_reference_flops=round(mfu(ex_per_s, ref_flops / ex_per_window), 3),
+            loss=round(loss, 4),
+        )
+    except Exception as exc:  # RESOURCE_EXHAUSTED expected on one 16GB chip
+        # 1B training state (f32 params 4GB + f32 nu 4GB + bf16 mu 2GB +
+        # bf16 teacher 2GB + vision 0.6GB + f32 grads 4GB transient) does
+        # not fit one v5e chip — the 1B scale is the TP configuration
+        # ((data, model) mesh, core/mesh.py param_partition_spec), which
+        # tests/test_sharding.py::test_tp2_window_step_1b_proportions
+        # exercises on the virtual mesh. Record the failure and move on to
+        # the inference check, which does fit.
+        report.update(train="oom", train_error=type(exc).__name__)
+        del state, teacher, tx, opt_state
+
+    # 1B greedy decode on one chip (bf16 weights): must fit and run
+    from mafed_tpu.evaluation.decode import make_greedy_decoder
+
+    params16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    decoder = make_greedy_decoder(model_cfg, eos_token_id=0)
+    dec_batches = []
+    for s in range(6):
+        bb = _example_batch(model_cfg, batch=32, text_len=64, seed=s)
+        dec_batches.append({k: jax.device_put(bb[k]) for k in ("input_ids", "attention_mask", "pixels")})
+    np.asarray(decoder(params16, dec_batches[0]))  # compile
+    start = time.perf_counter()
+    for bb in dec_batches:
+        np.asarray(decoder(params16, bb))
+    report["decode_examples_per_sec_per_chip"] = round(32 * len(dec_batches) / (time.perf_counter() - start), 2)
+
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
