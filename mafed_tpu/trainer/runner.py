@@ -168,6 +168,12 @@ class TaskRunner:
             self.ce_step = make_train_step(self.model_cfg, self.config, tx, attn_impl=self.attn_impl)
             if fused:
                 LOGGER.info("fused accumulation windows: %d microbatches/step", accum)
+        if self.window > 1 and batches_per_epoch < self.window:
+            LOGGER.warning(
+                "epoch has %d batches < window %d: fused-window training would "
+                "drop every batch (the trailing partial window is discarded)",
+                batches_per_epoch, self.window,
+            )
 
     def ewc_step(self, state, batch, ewc_state):
         if self._ewc_step is None:

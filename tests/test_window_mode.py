@@ -86,6 +86,18 @@ def test_replay_window_equivalence(tmp_path):
     _assert_params_close(fused_params, multi_params)
 
 
+@pytest.mark.slow
+def test_ewc_window_equivalence(tmp_path):
+    """Task 1 runs with a live EWC penalty: the fused window path must route
+    through ewc_window_step and match the MultiSteps trajectory."""
+    kw = dict(reg_lambda=100.0)
+    fused_params, window = _run(tmp_path, "fused", "ewc", True, **kw)
+    assert window == 2
+    multi_params, window = _run(tmp_path, "multi", "ewc", False, **kw)
+    assert window == 1
+    _assert_params_close(fused_params, multi_params)
+
+
 def test_featdistill_falls_back_when_cadence_unfoldable(tmp_path):
     """replay_interval < accum: two replay positions per window — must fall
     back to the MultiSteps path rather than silently drop a replay batch."""
