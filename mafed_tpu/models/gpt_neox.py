@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from mafed_tpu.core.config import ModelConfig
-from mafed_tpu.kernels.attention import dot_product_attention
+from mafed_tpu.kernels.attention import dot_product_attention, xla_attention_bthd
 
 
 class KVCache(NamedTuple):
@@ -98,10 +98,17 @@ def _rotate_half(x: jax.Array) -> jax.Array:
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
-def _apply_rotary(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array, rot: int) -> tuple:
-    """Partial rotary on the first `rot` dims. q/k: [B, H, T, D]; cos/sin [B, T, rot]."""
-    cos = cos[:, None].astype(q.dtype)
-    sin = sin[:, None].astype(q.dtype)
+def _apply_rotary(
+    q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array, rot: int, *, bthd: bool = False
+) -> tuple:
+    """Partial rotary on the first `rot` dims. q/k: [B, H, T, D] (or
+    [B, T, H, D] with bthd=True); cos/sin [B, T, rot]."""
+    if bthd:
+        cos = cos[:, :, None].astype(q.dtype)
+        sin = sin[:, :, None].astype(q.dtype)
+    else:
+        cos = cos[:, None].astype(q.dtype)
+        sin = sin[:, None].astype(q.dtype)
     q_rot, q_pass = q[..., :rot], q[..., rot:]
     k_rot, k_pass = k[..., :rot], k[..., rot:]
     q_rot = q_rot * cos + _rotate_half(q_rot) * sin
@@ -190,6 +197,26 @@ def apply(
             raise ValueError("num_layers truncation is for the plain forward path")
         layer_params = jax.tree.map(lambda x: x[:num_layers], layer_params)
 
+    def _finish_layer(h, attn_out, lp, pert, new_cache):
+        if cfg.use_parallel_residual:
+            ln2 = _layer_norm(h, lp["post_attention_layernorm"]["weight"], lp["post_attention_layernorm"]["bias"], eps)
+            mlp_in = ln2
+        else:
+            h = h + attn_out
+            ln2 = _layer_norm(h, lp["post_attention_layernorm"]["weight"], lp["post_attention_layernorm"]["bias"], eps)
+            mlp_in = ln2
+        up = mlp_in @ lp["mlp"]["dense_h_to_4h"]["weight"].astype(dtype) + lp["mlp"]["dense_h_to_4h"]["bias"].astype(dtype)
+        act = jax.nn.gelu(up, approximate=False)
+        down = act @ lp["mlp"]["dense_4h_to_h"]["weight"].astype(dtype) + lp["mlp"]["dense_4h_to_h"]["bias"].astype(dtype)
+
+        if cfg.use_parallel_residual:
+            h_new = h + attn_out + down
+        else:
+            h_new = h + down
+        if pert is not None:
+            h_new = h_new + pert.astype(h_new.dtype)
+        return h_new, (h_new, new_cache)
+
     def layer_fn(carry, xs):
         h = carry
         lp, layer_cache, pert = xs
@@ -198,6 +225,20 @@ def apply(
         qkv = qkv + lp["attention"]["query_key_value"]["bias"].astype(dtype)
         # HF fused layout: [..., heads, 3*head_dim]
         qkv = qkv.reshape(batch, t_new, n_heads, 3 * head_dim)
+
+        if layer_cache is None and attn_impl == "xla":
+            # BTHD fast path: stay in the qkv projection's natural layout —
+            # no physical [B,T,H,D]->[B,H,T,D] transposes per layer
+            q = qkv[..., :head_dim]
+            k = qkv[..., head_dim : 2 * head_dim]
+            v = qkv[..., 2 * head_dim :]
+            q, k = _apply_rotary(q, k, cos, sin, rot, bthd=True)
+            attn_out = xla_attention_bthd(q, k, v, key_padding_mask=key_mask, causal=True)
+            attn_out = attn_out.reshape(batch, t_new, hidden)
+            attn_out = attn_out @ lp["attention"]["dense"]["weight"].astype(dtype)
+            attn_out = attn_out + lp["attention"]["dense"]["bias"].astype(dtype)
+            return _finish_layer(h, attn_out, lp, pert, None)
+
         q = qkv[..., :head_dim].transpose(0, 2, 1, 3)
         k = qkv[..., head_dim : 2 * head_dim].transpose(0, 2, 1, 3)
         v = qkv[..., 2 * head_dim :].transpose(0, 2, 1, 3)
@@ -222,25 +263,7 @@ def apply(
         attn_out = attn_out.transpose(0, 2, 1, 3).reshape(batch, t_new, hidden)
         attn_out = attn_out @ lp["attention"]["dense"]["weight"].astype(dtype)
         attn_out = attn_out + lp["attention"]["dense"]["bias"].astype(dtype)
-
-        if cfg.use_parallel_residual:
-            ln2 = _layer_norm(h, lp["post_attention_layernorm"]["weight"], lp["post_attention_layernorm"]["bias"], eps)
-            mlp_in = ln2
-        else:
-            h = h + attn_out
-            ln2 = _layer_norm(h, lp["post_attention_layernorm"]["weight"], lp["post_attention_layernorm"]["bias"], eps)
-            mlp_in = ln2
-        up = mlp_in @ lp["mlp"]["dense_h_to_4h"]["weight"].astype(dtype) + lp["mlp"]["dense_h_to_4h"]["bias"].astype(dtype)
-        act = jax.nn.gelu(up, approximate=False)
-        down = act @ lp["mlp"]["dense_4h_to_h"]["weight"].astype(dtype) + lp["mlp"]["dense_4h_to_h"]["bias"].astype(dtype)
-
-        if cfg.use_parallel_residual:
-            h_new = h + attn_out + down
-        else:
-            h_new = h + down
-        if pert is not None:
-            h_new = h_new + pert.astype(h_new.dtype)
-        return h_new, (h_new, new_cache)
+        return _finish_layer(h, attn_out, lp, pert, new_cache)
 
     if cache is not None:
         def layer_fn_cached(carry, xs):

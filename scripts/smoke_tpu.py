@@ -1,0 +1,77 @@
+"""On-TPU smoke of the REAL training surface at 410M scale.
+
+Drives ContinualLearningTrainer end-to-end (2 synthetic mini-tasks,
+featdistill/MAFED, accumulate_grad_batches=4 = fused windows, generative
+validation, teacher/memory transition) on the actual chip — the e2e tests
+run this path only on tiny CPU configs, so this catches TPU-only issues in
+the runner's window assembly / prefetch / decode integration.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/smoke_tpu.py [workdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="mafed_smoke_")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from tests.helpers import write_synthetic_vqa
+
+    from mafed_tpu.core.config import ModelConfig
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    cfg = write_synthetic_vqa(workdir, n_train=64, n_val=8)
+    cfg = cfg.replace(
+        cl_method="featdistill",
+        output_dir=os.path.join(workdir, "out"),
+        batch_size=16,
+        val_batch_size=16,
+        accumulate_grad_batches=4,
+        replay_interval=4,
+        cl_memory=16,
+        epochs=[1, 1],
+        max_txt_len=24,
+        val_max_batches=1,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+        distillation_layer_discount=0.5,
+        allow_tokenizer_fallback=True,
+    )
+    model_cfg = ModelConfig()  # the real 410M + EVA-02-L
+
+    start = time.time()
+    trainer = ContinualLearningTrainer(
+        cfg, model_cfg=model_cfg, synthetic_images=True, use_mesh=False
+    )
+    result = trainer.main()
+    wall = time.time() - start
+
+    ok = (
+        len(result["accuracy_matrix"]) == 2
+        and os.path.exists(os.path.join(cfg.output_dir, "ckpt", "taskB_best.safetensors"))
+        and trainer.runner.window == 4
+    )
+    print(
+        json.dumps(
+            {
+                "smoke": "ok" if ok else "FAIL",
+                "window": trainer.runner.window,
+                "wall_s": round(wall, 1),
+                "accuracy_matrix": result["accuracy_matrix"],
+                "workdir": workdir,
+            }
+        )
+    )
+    if not ok:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
