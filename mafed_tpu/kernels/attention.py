@@ -74,36 +74,6 @@ def xla_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def xla_attention_bthd(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    *,
-    key_padding_mask: Optional[jax.Array] = None,
-    causal: bool = False,
-    scale: Optional[float] = None,
-) -> jax.Array:
-    """Masked softmax attention in [B, T, H, D] layout — the natural layout
-    coming out of a fused [B, T, H*3D] qkv projection. Skipping the physical
-    [B,T,H,D] -> [B,H,T,D] transposes (which XLA materializes as copies,
-    profiled under 'data formatting') is the point; einsum batches over h in
-    place. Training path only (no KV cache / causal offset)."""
-    _, q_len, _, head_dim = q.shape
-    k_len = k.shape[1]
-    scale = (head_dim ** -0.5) if scale is None else scale
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
-    if causal:
-        offset = k_len - q_len
-        qi = jnp.arange(q_len)[:, None]
-        ki = jnp.arange(k_len)[None, :]
-        scores = jnp.where((ki <= qi + offset)[None, None], scores, _NEG)
-    if key_padding_mask is not None:
-        keep = key_padding_mask[:, None, None, :].astype(bool)
-        scores = jnp.where(keep, scores, _NEG)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-
-
 # ---------------------------------------------------------------------------
 # Pallas flash attention forward kernel
 # ---------------------------------------------------------------------------

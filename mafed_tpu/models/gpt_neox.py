@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from mafed_tpu.core.config import ModelConfig
-from mafed_tpu.kernels.attention import dot_product_attention, xla_attention_bthd
+from mafed_tpu.kernels.attention import dot_product_attention
 
 
 class KVCache(NamedTuple):
@@ -98,17 +98,10 @@ def _rotate_half(x: jax.Array) -> jax.Array:
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
-def _apply_rotary(
-    q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array, rot: int, *, bthd: bool = False
-) -> tuple:
-    """Partial rotary on the first `rot` dims. q/k: [B, H, T, D] (or
-    [B, T, H, D] with bthd=True); cos/sin [B, T, rot]."""
-    if bthd:
-        cos = cos[:, :, None].astype(q.dtype)
-        sin = sin[:, :, None].astype(q.dtype)
-    else:
-        cos = cos[:, None].astype(q.dtype)
-        sin = sin[:, None].astype(q.dtype)
+def _apply_rotary(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array, rot: int) -> tuple:
+    """Partial rotary on the first `rot` dims. q/k: [B, H, T, D]; cos/sin [B, T, rot]."""
+    cos = cos[:, None].astype(q.dtype)
+    sin = sin[:, None].astype(q.dtype)
     q_rot, q_pass = q[..., :rot], q[..., rot:]
     k_rot, k_pass = k[..., :rot], k[..., rot:]
     q_rot = q_rot * cos + _rotate_half(q_rot) * sin
@@ -225,20 +218,10 @@ def apply(
         qkv = qkv + lp["attention"]["query_key_value"]["bias"].astype(dtype)
         # HF fused layout: [..., heads, 3*head_dim]
         qkv = qkv.reshape(batch, t_new, n_heads, 3 * head_dim)
-
-        if layer_cache is None and attn_impl == "xla":
-            # BTHD fast path: stay in the qkv projection's natural layout —
-            # no physical [B,T,H,D]->[B,H,T,D] transposes per layer
-            q = qkv[..., :head_dim]
-            k = qkv[..., head_dim : 2 * head_dim]
-            v = qkv[..., 2 * head_dim :]
-            q, k = _apply_rotary(q, k, cos, sin, rot, bthd=True)
-            attn_out = xla_attention_bthd(q, k, v, key_padding_mask=key_mask, causal=True)
-            attn_out = attn_out.reshape(batch, t_new, hidden)
-            attn_out = attn_out @ lp["attention"]["dense"]["weight"].astype(dtype)
-            attn_out = attn_out + lp["attention"]["dense"]["bias"].astype(dtype)
-            return _finish_layer(h, attn_out, lp, pert, None)
-
+        # NOTE: a BTHD fast path (skipping these transposes via
+        # kernels.attention.xla_attention_bthd) was measured at +0.5%
+        # step time but ~3x XLA compile time — not worth it; see
+        # docs/ARCHITECTURE.md negative results.
         q = qkv[..., :head_dim].transpose(0, 2, 1, 3)
         k = qkv[..., head_dim : 2 * head_dim].transpose(0, 2, 1, 3)
         v = qkv[..., 2 * head_dim :].transpose(0, 2, 1, 3)
