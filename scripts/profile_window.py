@@ -72,7 +72,9 @@ def capture(out_dir: str) -> None:
     print(f"trace written to {out_dir}")
 
 
-def summarize(out_dir: str, top: int = 40) -> None:
+def summarize(out_dir: str, top: int = 30, steps: int = 3) -> None:
+    import json as _json
+
     try:
         from xprof.convert import raw_to_tool_data as rtd
     except ImportError:  # older installs
@@ -83,54 +85,37 @@ def summarize(out_dir: str, top: int = 40) -> None:
         print("no xplane found")
         return
     xplane = max(xplanes, key=os.path.getmtime)
-    for tool in ("hlo_stats", "framework_op_stats"):
-        try:
-            data, _ = rtd.xspace_to_tool_data([xplane], tool, {})
-            break
-        except Exception as exc:
-            print(f"{tool}: {exc}")
-            data = None
-    if data is None:
-        return
+    data, _ = rtd.xspace_to_tool_data([xplane], "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode("utf-8", "replace")
-    lines = data.splitlines()
-    print(lines[0] if lines else "")
-    import csv
-    import io
-
-    rows = list(csv.DictReader(io.StringIO(data)))
-    if not rows:
-        print(data[:4000])
-        return
-    time_key = next(
-        (k for k in rows[0] if k and "self" in k.lower() and "time" in k.lower()), None
-    )
-    name_key = next((k for k in rows[0] if k and "name" in k.lower()), None)
-    cat_key = next((k for k in rows[0] if k and "category" in k.lower()), None)
-    if time_key is None:
-        for k in rows[0]:
-            print(k)
-        return
+    d = _json.loads(data)  # gviz table
+    cols = [c["id"] for c in d["cols"]]
+    rows = [
+        dict(zip(cols, [cell.get("v") if isinstance(cell, dict) else cell for cell in r["c"]]))
+        for r in d["rows"]
+    ]
 
     def val(r):
-        try:
-            return float(r[time_key])
-        except (TypeError, ValueError):
-            return 0.0
+        return r.get("total_self_time") or 0.0
 
     total = sum(val(r) for r in rows)
-    # roll up by category
-    cats = {}
+    print(f"total self time: {total/1e3:.1f} ms over {steps} steps -> {total/steps/1e3:.0f} ms/step")
+    cats: dict = {}
     for r in rows:
-        c = r.get(cat_key, "?") if cat_key else "?"
+        c = r.get("category") or "?"
         cats[c] = cats.get(c, 0.0) + val(r)
-    print(f"\n== by category (total {total:.1f}) ==")
-    for c, t in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"{t:12.1f}  {100*t/total:5.1f}%  {c}")
-    print(f"\n== top {top} ops by {time_key} ==")
+    print("== by category (ms/step) ==")
+    for c, t in sorted(cats.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"{t/steps/1e3:9.1f}  {100*t/total:5.1f}%  {c}")
+    print(f"== top {top} ops ==")
     for r in sorted(rows, key=val, reverse=True)[:top]:
-        print(f"{val(r):12.1f}  {100*val(r)/total:5.1f}%  {r.get(cat_key,'')}  {(r.get(name_key) or '')[:110]}")
+        fw = (r.get("tf_op_name") or "")[-80:]
+        print(
+            f"{val(r)/steps/1e3:7.1f}ms {100*val(r)/total:5.1f}% "
+            f"{int(r.get('occurrences') or 0):5}x {str(r.get('category'))[:16]:16} "
+            f"{str(r.get('bound_by') or ''):7} gf={r.get('model_flop_rate') or 0:7.0f} "
+            f"bw={r.get('measured_memory_bw') or 0:6.0f} {fw}"
+        )
 
 
 if __name__ == "__main__":
