@@ -24,13 +24,14 @@ def _run(tmp_path, tag, method, fused, **overrides):
     from mafed_tpu.utils.checkpoint import load_task_checkpoint
 
     cfg = write_synthetic_vqa(str(tmp_path / tag))
-    cfg = cfg.replace(
+    kwargs = dict(
         cl_method=method,
         output_dir=str(tmp_path / tag / "out"),
         accumulate_grad_batches=2,
         fused_window=fused,
-        **overrides,
     )
+    kwargs.update(overrides)
+    cfg = cfg.replace(**kwargs)
     model_cfg = tiny_model_cfg()
     trainer = ContinualLearningTrainer(
         cfg, model_cfg=model_cfg, synthetic_images=True, use_mesh=False
@@ -112,3 +113,23 @@ def test_featdistill_falls_back_when_cadence_unfoldable(tmp_path):
     strat = FeatureDistillation(cfg, tiny_model_cfg())
     assert not strat.supports_fused_window(4)
     assert strat.supports_fused_window(2)
+
+
+@pytest.mark.slow
+def test_featdistill_fallback_fit_runs(tmp_path):
+    """End-to-end: with fused_window requested but an unfoldable cadence
+    (interval 2 < accum 4), the trainer must transparently run the
+    per-microbatch MultiSteps path."""
+    params, window = _run(
+        tmp_path, "fallback", "featdistill", True,
+        accumulate_grad_batches=4,
+        cl_memory=8,
+        replay_interval=2,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+    )
+    import jax
+
+    assert window == 1  # fell back
+    leaves = jax.tree.leaves(params)
+    assert leaves and all(np.isfinite(np.asarray(x, np.float32)).all() for x in leaves)
