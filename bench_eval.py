@@ -85,10 +85,16 @@ def main() -> None:
     # np.asarray forces the device->host transfer of the tokens — the same
     # sync the real eval loop performs — because block_until_ready alone
     # does not force completion of independent dispatches on the remote
-    # TPU tunnel (it reports absurd times)
+    # TPU tunnel (it reports absurd times). Like evaluation/validate.py,
+    # batch i+1's decode is dispatched before batch i's tokens are pulled.
     start = time.perf_counter()
+    pending = None
     for bat in batches:
-        np.asarray(decoder(params, bat))
+        toks = decoder(params, bat)
+        if pending is not None:
+            np.asarray(pending)
+        pending = toks
+    np.asarray(pending)
     elapsed = time.perf_counter() - start
 
     ex_per_s = batch_size * iters / elapsed

@@ -241,7 +241,10 @@ class TrainConfig:
 
 
 def _add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool) -> None:
-    parser.add_argument(f"--{name}", action="store_true", default=default)
+    # default-True flags (e.g. fused_window) need a --no_<name> off switch;
+    # store_true alone could never disable them from the CLI
+    parser.add_argument(f"--{name}", dest=name, action="store_true", default=default)
+    parser.add_argument(f"--no_{name}", dest=name, action="store_false")
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -278,6 +281,8 @@ def parse_with_config(parser: argparse.ArgumentParser, argv: Optional[list] = No
         with open(args.config) as f:
             config_args = json.load(f)
         override_keys = {arg[2:].split("=")[0] for arg in argv if arg.startswith("--")}
+        # --no_<flag> negations override the underlying <flag> key
+        override_keys |= {k[3:] for k in override_keys if k.startswith("no_")}
         for k, v in config_args.items():
             if k not in override_keys:
                 setattr(args, k, v)

@@ -219,6 +219,20 @@ def main() -> None:
             flush=True,
         )
 
+    if "win_fused_b32" in which:
+        # headroom probe: same window structure at microbatch 32 (128
+        # ex/window) — not the reference cadence, shows batch-scaling room
+        b32 = 32
+        batch32 = {k: jax.device_put(v) for k, v in _example_batch(model_cfg, b32, 80).items()}
+        ce32 = {
+            k: jax.device_put(np.stack([_example_batch(model_cfg, b32, 80, seed=s)[k] for s in range(3)]))
+            for k in batch32
+        }
+        cfg = TrainConfig(batch_size=b32, **base_kw)
+        tx, state = fresh_state(cfg)
+        step = make_mafed_window_step(model_cfg, cfg, tx, n_ce=3)
+        run("window fused b32", step, state, lambda: (teacher, ce32, batch32, lang_coeffs), 4 * b32)
+
     if "distill32" in which:
         b32 = 32
         batch32 = {k: jax.device_put(v) for k, v in _example_batch(model_cfg, b32, 80).items()}
