@@ -219,6 +219,13 @@ class TrainConfig:
     text_pad_multiple: int = 16  # bucket question lengths for shape stability
     val_max_batches: Optional[int] = None
     remat: bool = False
+    # Restrict the training lm_head + CE to the last `label_tail` text
+    # positions. Under the CL layout (left padding; labels = -100 on the
+    # question, answer⊕EOS as a suffix) the loss is bit-identical while the
+    # [B, T, vocab] projection shrinks ~60%. collate_train validates the
+    # invariant per batch. 0 disables (pretraining captions supervise every
+    # position and set 0).
+    label_tail: int = 32
     # fuse each gradient-accumulation window into ONE jit step (training/
     # step.py window steps): numerically equivalent to optax.MultiSteps over
     # the microbatches (tested) but pays one optimizer update + dispatch per

@@ -26,9 +26,21 @@ def _left_pad(rows: Sequence[np.ndarray], length: int, pad_value: int) -> np.nda
     return out
 
 
-def collate_train(items: List[Dict], text_len: int) -> Dict[str, np.ndarray]:
+def collate_train(items: List[Dict], text_len: int, label_tail: Optional[int] = None) -> Dict[str, np.ndarray]:
     input_ids = _left_pad([it["input_ids"] for it in items], text_len, 0)
     labels = _left_pad([it["labels"] for it in items], text_len, IGNORE_INDEX)
+    if label_tail and label_tail < text_len:
+        # the train step restricts lm_head + CE to the last label_tail
+        # positions (models/vl_pythia.py label_tail); that is loss-identical
+        # ONLY if every supervised label sits in the last label_tail-1
+        # positions — left padding puts answer⊕EOS at the very end, so this
+        # only trips on pathologically long answers
+        head = labels[:, : text_len - (label_tail - 1)]
+        if (head != IGNORE_INDEX).any():
+            raise ValueError(
+                f"supervised labels outside the last {label_tail - 1} positions; "
+                f"raise --label_tail (or set it to 0 to disable)"
+            )
     attention_mask = np.zeros_like(input_ids)
     for i, it in enumerate(items):
         n = min(len(it["input_ids"]), text_len)

@@ -178,6 +178,7 @@ def forward(
     need_logits: bool = True,
     num_layers: Optional[int] = None,
     remat_layers: bool = False,
+    label_tail: Optional[int] = None,
 ) -> VLPythiaOutput:
     """Full training/eval forward (no KV cache; see evaluation.decode for that).
 
@@ -194,6 +195,14 @@ def forward(
     num_layers: early-exit the decoder after this many blocks (teacher fast
     path — distillation never reads hidden_states beyond index L-2; see
     gpt_neox.apply). Requires need_logits=False and labels=None.
+
+    label_tail (with loss_only + labels): restrict the lm_head + CE to the
+    last `label_tail` positions. Under the CL data layout the supervised
+    answer⊕EOS is a SUFFIX of the left-padded text (vqa_dataset labels are
+    -100 elsewhere), so the loss is bit-identical as long as every row's
+    valid labels fit in the last label_tail-1 positions — enforced by
+    collate_train. Cuts the [B, T, 50304] projection (fwd+bwd) to the
+    answer region (~60% less lm_head work at VQA shapes).
     """
     inputs_embeds, full_mask = build_inputs(
         params, cfg, input_ids, pixel_values, attention_mask,
@@ -222,6 +231,8 @@ def forward(
         # e.g. the distillation teacher: only hidden_states are consumed
         return VLPythiaOutput(loss=None, logits=None, hidden_states=dec.get("hidden_states"), cache=None)
     if loss_only and labels is not None:
+        if label_tail is not None and 0 < label_tail < labels.shape[1]:
+            labels = labels[:, -label_tail:]
         hidden = hidden[:, -labels.shape[1]:]
     lm_logits = gpt_neox.logits(params["decoder"], hidden, dtype=dtype)
     loss = compute_loss(labels, lm_logits) if labels is not None else None

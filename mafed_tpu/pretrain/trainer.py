@@ -107,6 +107,9 @@ class PretrainTrainer:
             optim="adamw",
             betas=list(args.betas),
             seed=args.seed,
+            # captions supervise EVERY position — the CL answer-tail
+            # restriction does not apply to pretraining
+            label_tail=0,
         )
         self._train_cfg = tcfg
         trainable, _ = split_params(init_params)

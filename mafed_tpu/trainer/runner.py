@@ -112,7 +112,11 @@ class TaskRunner:
         return BatchLoader(
             dataset,
             batch_size=self.config.batch_size // n_proc,
-            collate=partial(collate_train, text_len=self.train_text_len),
+            collate=partial(
+                collate_train,
+                text_len=self.train_text_len,
+                label_tail=getattr(self.config, "label_tail", 0) or None,
+            ),
             shuffle=shuffle or infinite,
             seed=self.config.seed if seed is None else seed,
             num_workers=self.config.n_workers,

@@ -39,7 +39,7 @@ def _prep_pixels(batch: Dict[str, jax.Array], cfg: ModelConfig, dtype) -> jax.Ar
     return prep_pixels(batch, cfg.vision, dtype)
 
 
-def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat=False, patches=None):
+def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat=False, patches=None, label_tail=None):
     """remat=True rematerializes decoder layers during backward (per-layer
     jax.checkpoint inside the layer scan — NOT a whole-forward checkpoint,
     which would pointlessly recompute the frozen vision tower too)."""
@@ -51,7 +51,7 @@ def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat
         params, cfg, batch["input_ids"], pixel_values, batch["attention_mask"], batch["labels"],
         patch_embeddings=patches,
         dtype=dtype, attn_impl=attn_impl, vision_attn_impl="xla",
-        loss_only=True, remat_layers=remat,
+        loss_only=True, remat_layers=remat, label_tail=label_tail,
     ).loss
 
 
@@ -85,10 +85,11 @@ def make_train_step(
     replay/distill gradients exactly as the reference does.
     """
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    tail = getattr(train_cfg, "label_tail", None) or None
 
     def step(state: TrainState, batch: Dict[str, jax.Array], ewc_state=None):
         def loss_fn(trainable):
-            loss = _ce_loss(trainable, state.frozen, model_cfg, batch, dtype, attn_impl, remat=train_cfg.remat)
+            loss = _ce_loss(trainable, state.frozen, model_cfg, batch, dtype, attn_impl, remat=train_cfg.remat, label_tail=tail)
             if with_ewc and ewc_state is not None:
                 loss = loss + ewc_penalty(trainable, ewc_state, train_cfg.reg_lambda)
             return loss
@@ -165,6 +166,7 @@ def make_ce_window_step(
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
     if attn_impl == "auto":
         attn_impl = "xla"
+    tail = getattr(train_cfg, "label_tail", None) or None
 
     def step(state: TrainState, batches, ewc_state=None):
         merged = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
@@ -173,7 +175,7 @@ def make_ce_window_step(
             # remat: the n_mb*b-row fused pass keeps per-layer residuals only
             loss = _ce_loss(
                 trainable, state.frozen, model_cfg, merged, dtype, attn_impl,
-                remat=train_cfg.remat or remat,
+                remat=train_cfg.remat or remat, label_tail=tail,
             )
             if with_ewc and ewc_state is not None:
                 # MultiSteps adds the penalty to every microbatch loss and
@@ -319,6 +321,7 @@ def make_distill_loss_fn(
             need_logits=replay_coeff > 0,
             num_layers=None if replay_coeff > 0 else deepest_tap,
             remat_layers=remat_student,
+            label_tail=getattr(train_cfg, "label_tail", None) or None,
         )
         teacher_params = merge_params(teacher_trainable, frozen)
         # teacher is frozen (stop_gradient): XLA attention's faster
@@ -483,6 +486,7 @@ def make_mafed_window_step(
             return _ce_loss(
                 trainable, state.frozen, model_cfg, mb, dtype, attn_impl,
                 remat=train_cfg.remat or remat_ce, patches=ce_patches,
+                label_tail=getattr(train_cfg, "label_tail", None) or None,
             )
 
         def window_loss(trainable):
@@ -537,12 +541,13 @@ def make_ewc_fisher_fn(model_cfg: ModelConfig, train_cfg: TrainConfig, attn_impl
     caller.
     """
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
+    tail = getattr(train_cfg, "label_tail", None) or None
 
     def fisher_step(trainable, frozen, batch, importances):
         bsz = batch["input_ids"].shape[0]
 
         def loss_fn(tr):
-            return bsz * _ce_loss(tr, frozen, model_cfg, batch, dtype, attn_impl)
+            return bsz * _ce_loss(tr, frozen, model_cfg, batch, dtype, attn_impl, label_tail=tail)
 
         grads = jax.grad(loss_fn)(trainable)
         importances = jax.tree.map(

@@ -60,3 +60,65 @@ def test_masked_mean():
     m = jnp.asarray([[True, True, False], [False, False, True]])
     out = np.asarray(masked_mean(v, m, axis=-1))
     np.testing.assert_allclose(out, [1.5, 6.0])
+
+
+def test_label_tail_loss_identical():
+    """forward(label_tail=A) must equal the full-text loss whenever all
+    supervised labels fit in the last A-1 positions (models/vl_pythia.py)."""
+    import jax
+
+    from tests.helpers import tiny_model_cfg
+    from mafed_tpu.models import vl_pythia
+
+    cfg = tiny_model_cfg()
+    params = vl_pythia.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    b, t = 3, 16
+    input_ids = rng.integers(1, cfg.vocab_size - 1, size=(b, t)).astype(np.int32)
+    attention_mask = np.ones((b, t), np.int32)
+    attention_mask[:, :4] = 0
+    labels = input_ids.copy()
+    for i, n_ans in enumerate([2, 5, 1]):
+        labels[i, : t - n_ans] = -100
+    pixels = rng.integers(0, 256, size=(b, cfg.vision.img_size, cfg.vision.img_size, 3)).astype(np.uint8)
+
+    from mafed_tpu.data.images import prep_pixels
+
+    px = prep_pixels({"pixels": pixels}, cfg.vision, jnp.float32)
+
+    def loss(tail):
+        return float(
+            vl_pythia.forward(
+                params, cfg, input_ids, px, attention_mask, labels,
+                dtype=jnp.float32, attn_impl="xla", loss_only=True, label_tail=tail,
+            ).loss
+        )
+
+    full = loss(None)
+    assert abs(loss(8) - full) < 1e-6   # 8 >= max answer (5) + 1
+    assert abs(loss(6) - full) < 1e-6   # exactly max answer + 1
+
+
+def test_collate_label_tail_guard():
+    from mafed_tpu.data.collate import collate_train
+
+    items = [
+        {
+            "input_ids": np.arange(1, 11, dtype=np.int32),
+            "labels": np.asarray([-100] * 8 + [5, 6], np.int32),
+            "pixels": np.zeros((4, 4, 3), np.uint8),
+        }
+    ]
+    out = collate_train(items, text_len=16, label_tail=8)  # fits
+    assert out["labels"].shape == (1, 16)
+    import pytest
+
+    long_items = [
+        {
+            "input_ids": np.arange(1, 11, dtype=np.int32),
+            "labels": np.arange(1, 11, dtype=np.int32),  # 10 supervised
+            "pixels": np.zeros((4, 4, 3), np.uint8),
+        }
+    ]
+    with pytest.raises(ValueError):
+        collate_train(long_items, text_len=16, label_tail=8)
