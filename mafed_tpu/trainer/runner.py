@@ -163,6 +163,10 @@ class TaskRunner:
                 and accum > 1
                 and strategy is not None
                 and strategy.supports_fused_window(accum)
+                # stack_window stacks device batches host-side, which needs
+                # every shard addressable — single-controller only; multi-
+                # process pods keep the per-microbatch MultiSteps path
+                and jax.process_count() == 1
             )
             self.window = accum if fused else 1
             tx = build_optimizer(self.config, trainable_template)
