@@ -88,6 +88,32 @@ def test_replay_window_equivalence(tmp_path):
 
 
 @pytest.mark.slow
+def test_fused_window_under_dp8_mesh(tmp_path):
+    """The runner's window assembly (device-side stack + reshard to
+    P(None, 'data')) must work under an 8-device data-parallel mesh."""
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    cfg = write_synthetic_vqa(str(tmp_path))
+    cfg = cfg.replace(
+        cl_method="replay",
+        output_dir=str(tmp_path / "out"),
+        accumulate_grad_batches=2,
+        cl_memory=8,
+        replay_interval=2,
+        batch_size=8,
+        val_batch_size=8,
+        mesh_shape=[8, 1],
+    )
+    trainer = ContinualLearningTrainer(
+        cfg, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=True
+    )
+    result = trainer.main()
+    assert trainer.runner.window == 2
+    acc = np.asarray(result["accuracy_matrix"])
+    assert acc.shape == (2, 2) and np.isfinite(acc).all()
+
+
+@pytest.mark.slow
 def test_ewc_window_equivalence(tmp_path):
     """Task 1 runs with a live EWC penalty: the fused window path must route
     through ewc_window_step and match the MultiSteps trajectory."""
