@@ -35,7 +35,19 @@ def maybe_initialize_distributed(config=None) -> bool:
             return True
     except Exception:
         pass
-    jax.distributed.initialize()
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as exc:
+        # initialize() must precede any backend use; if a driver already
+        # touched jax.devices() the runtime refuses — surface a clear error
+        # instead of the generic one (or tolerate double-init)
+        if "already initialized" in str(exc).lower():
+            return True
+        raise RuntimeError(
+            "jax.distributed.initialize() failed — it must run before any JAX "
+            "computation. Construct ContinualLearningTrainer (or call "
+            "maybe_initialize_distributed) before touching jax.devices()/jit."
+        ) from exc
     LOGGER.info(
         "jax.distributed initialized: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

@@ -87,6 +87,7 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
+        error: List[BaseException] = []
 
         def produce():
             epoch = self._epoch
@@ -101,6 +102,11 @@ class BatchLoader:
                         epoch += 1
                         if not self.infinite:
                             break
+            except BaseException as exc:  # propagate to the consumer: a
+                # swallowed collate/dataset error would silently end the
+                # epoch early (e.g. the collate_train label_tail guard MUST
+                # hard-fail, not truncate training data)
+                error.append(exc)
             finally:
                 out_q.put(None)
 
@@ -110,6 +116,8 @@ class BatchLoader:
             while True:
                 batch = out_q.get()
                 if batch is None:
+                    if error:
+                        raise error[0]
                     break
                 yield batch
         finally:

@@ -89,7 +89,11 @@ def validate_vqa(
         score(*pending)
 
     tot_time = max(time.time() - start, 1e-9)
-    # multi-process DP eval: every process scored its shard; reduce sums
+    # multi-process DP eval: every process scored its shard; reduce sums.
+    # valid/ex_per_s is SYSTEM throughput: processes run their shards
+    # concurrently over (approximately) the same wall clock, so global
+    # examples / local wall time is the aggregate rate (per-chip rate is
+    # this divided by process_count).
     from mafed_tpu.core.dist import process_reduce_sum
 
     score_sum, total = process_reduce_sum(metric.accuracy, float(metric.total))

@@ -53,19 +53,28 @@ class ContinualLearningTrainer:
         # multi-host SPMD: must run before any backend use so every process
         # sees the global device set (replaces the reference's implicit
         # torch.distributed env init; README.md:47 left it untested)
-        from mafed_tpu.core.dist import maybe_initialize_distributed
+        from mafed_tpu.core.dist import is_main_process, maybe_initialize_distributed
 
         maybe_initialize_distributed(config)
         seed_everything(config.seed)
         self._initialize_tasks()
-        save_configs(config)
-        add_log_to_file(os.path.join(config.output_dir, "log", "log.txt"))
-        self.metrics = MetricsLogger(
-            project=config.run_project,
-            entity=config.run_entity,
-            group=config.run_group,
-            name=config.run_name,
-            output_dir=os.path.join(config.output_dir, "log"),
+        # rank-0 writer gating (reference save.py:35): on multi-host pods
+        # with a shared output_dir, only process 0 writes provenance files,
+        # metrics, logs, and checkpoints
+        self.is_main = is_main_process()
+        if self.is_main:
+            save_configs(config)
+            add_log_to_file(os.path.join(config.output_dir, "log", "log.txt"))
+        self.metrics = (
+            MetricsLogger(
+                project=config.run_project,
+                entity=config.run_entity,
+                group=config.run_group,
+                name=config.run_name,
+                output_dir=os.path.join(config.output_dir, "log"),
+            )
+            if self.is_main
+            else None
         )
         self.synthetic_images = synthetic_images
         self._init_params = init_params
@@ -81,10 +90,11 @@ class ContinualLearningTrainer:
                 model_cfg = ModelConfig()
         self.model_cfg = model_cfg
         # persist for offline analysis (analysis/sweep.py) + ckpt parity
-        import json
+        if self.is_main:
+            import json
 
-        with open(os.path.join(config.output_dir, "log", "model_config.json"), "w") as f:
-            json.dump(model_cfg.to_dict(), f, indent=2)
+            with open(os.path.join(config.output_dir, "log", "model_config.json"), "w") as f:
+                json.dump(model_cfg.to_dict(), f, indent=2)
 
         self.tokenizer = build_tokenizer(
             config.tokenizer_name, model_max_length=100, padding_side="left",
@@ -152,7 +162,8 @@ class ContinualLearningTrainer:
             )
             metrics["validation/BWT"] = bwt
             LOGGER.info("Average forgetting: %.2f", bwt * 100)
-        self.metrics.log_metrics(metrics, step=task_id, is_valid_step=True)
+        if self.metrics is not None:
+            self.metrics.log_metrics(metrics, step=task_id, is_valid_step=True)
         return accuracy
 
     # ------------------------------------------------------------------
@@ -192,11 +203,13 @@ class ContinualLearningTrainer:
                     resume_dir=resume_dir,
                     resume=bool(cfg.resume_from_checkpoint),
                 )
-                self.metrics.set_global_step_offset(
-                    self.metrics.global_step_offset + fit_log["global_step"]
-                )
+                if self.metrics is not None:
+                    self.metrics.set_global_step_offset(
+                        self.metrics.global_step_offset + fit_log["global_step"]
+                    )
                 best_params = merge_params(best_trainable, state.frozen)
-                save_task_checkpoint(best_params, self.model_cfg, best_path)
+                if self.is_main:
+                    save_task_checkpoint(best_params, self.model_cfg, best_path)
                 params = best_params
                 del state
             elif os.path.exists(best_path):
@@ -227,8 +240,10 @@ class ContinualLearningTrainer:
         out_path = os.path.join(cfg.output_dir, "log", "results.json")
         import json
 
-        with open(out_path, "w") as f:
-            json.dump(result, f, indent=2)
+        if self.is_main:
+            with open(out_path, "w") as f:
+                json.dump(result, f, indent=2)
         LOGGER.info("final average accuracy: %.4f", result["average_accuracy"])
-        self.metrics.finish()
+        if self.metrics is not None:
+            self.metrics.finish()
         return result

@@ -414,7 +414,9 @@ class TaskRunner:
             if acc > best_acc:
                 best_acc = acc
                 best_trainable = jax.tree.map(lambda x: np.asarray(x), state.trainable)
-            if resume_dir:
+            from mafed_tpu.core.dist import is_main_process
+
+            if resume_dir and is_main_process():
                 self._save_resume_bundle(
                     resume_dir, state,
                     {

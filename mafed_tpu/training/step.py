@@ -301,6 +301,7 @@ def make_distill_loss_fn(
     cls_distill = train_cfg.cls_distillation
 
     n_vis = model_cfg.vision.num_patches  # 256 for EVA-02-L/14 @224
+    tail = getattr(train_cfg, "label_tail", None) or None
 
     def loss_fn(trainable, frozen, teacher_trainable, batch, lang_coeffs, patches=None):
         lang_mask, image_mask = modality_masks(batch["attention_mask"], n_vis)
@@ -321,7 +322,7 @@ def make_distill_loss_fn(
             need_logits=replay_coeff > 0,
             num_layers=None if replay_coeff > 0 else deepest_tap,
             remat_layers=remat_student,
-            label_tail=getattr(train_cfg, "label_tail", None) or None,
+            label_tail=tail,
         )
         teacher_params = merge_params(teacher_trainable, frozen)
         # teacher is frozen (stop_gradient): XLA attention's faster
@@ -462,6 +463,7 @@ def make_mafed_window_step(
     )
     denom = float(n_ce + 1)
     share_vision = share_vision and fuse_ce_batch
+    tail = getattr(train_cfg, "label_tail", None) or None
 
     def step(state: TrainState, teacher_trainable, ce_batches, distill_batch, lang_coeffs):
         ce_patches = distill_patches = None
@@ -486,7 +488,7 @@ def make_mafed_window_step(
             return _ce_loss(
                 trainable, state.frozen, model_cfg, mb, dtype, attn_impl,
                 remat=train_cfg.remat or remat_ce, patches=ce_patches,
-                label_tail=getattr(train_cfg, "label_tail", None) or None,
+                label_tail=tail,
             )
 
         def window_loss(trainable):

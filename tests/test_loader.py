@@ -66,3 +66,25 @@ def test_infinite_stream_reshuffles_epochs():
     epoch1 = sorted(out[2] + out[3])
     assert epoch0 == epoch1 == list(range(8))
     assert out[0] + out[1] != out[2] + out[3]  # reshuffled
+
+
+def test_loader_propagates_collate_errors():
+    """A collate/dataset exception must surface to the consumer, not
+    silently end the epoch (the label_tail guard depends on this)."""
+    import pytest
+
+    from mafed_tpu.data.loader import BatchLoader
+
+    class DS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"x": i}
+
+    def bad_collate(items):
+        raise ValueError("label_tail violated")
+
+    loader = BatchLoader(DS(), batch_size=4, collate=bad_collate, num_workers=2)
+    with pytest.raises(ValueError, match="label_tail violated"):
+        list(loader)
