@@ -27,7 +27,9 @@ def main() -> None:
     from mafed_tpu.core.config import ModelConfig
     from mafed_tpu.trainer.continual import ContinualLearningTrainer
 
-    cfg = write_synthetic_vqa(workdir, n_train=64, n_val=8)
+    n_train = int(os.environ.get("SMOKE_N_TRAIN", "64"))
+    epochs0 = int(os.environ.get("SMOKE_EPOCHS", "1"))
+    cfg = write_synthetic_vqa(workdir, n_train=n_train, n_val=8)
     cfg = cfg.replace(
         cl_method="featdistill",
         output_dir=os.path.join(workdir, "out"),
@@ -36,7 +38,7 @@ def main() -> None:
         accumulate_grad_batches=4,
         replay_interval=4,
         cl_memory=16,
-        epochs=[1, 1],
+        epochs=[epochs0, 1],
         max_txt_len=24,
         val_max_batches=1,
         distillation_modality_weighing_strategy="balanced",
@@ -58,6 +60,16 @@ def main() -> None:
         and os.path.exists(os.path.join(cfg.output_dir, "ckpt", "taskB_best.safetensors"))
         and trainer.runner.window == 4
     )
+    # steady-state integrated throughput: later epochs run warm-compiled
+    epoch_rates = {}
+    metrics_path = os.path.join(cfg.output_dir, "log", "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                for k, v in rec.items():
+                    if k.endswith("train_ex_per_s"):
+                        epoch_rates.setdefault(k, []).append(v)
     print(
         json.dumps(
             {
@@ -65,6 +77,7 @@ def main() -> None:
                 "window": trainer.runner.window,
                 "wall_s": round(wall, 1),
                 "accuracy_matrix": result["accuracy_matrix"],
+                "train_ex_per_s": epoch_rates,
                 "workdir": workdir,
             }
         )
