@@ -213,6 +213,10 @@ class TrainConfig:
     # force jax.distributed.initialize() (multi-host pods; coordinator env
     # vars also trigger it — see core/dist.py)
     distributed_init: bool = False
+    # mid-task resume bundles (params + best + orbax optimizer state, several
+    # GB at 410M) are written every N epochs; 0 disables. Epoch-granular
+    # resume only restarts from the last saved bundle.
+    resume_bundle_every: int = 1
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     adam_mu_dtype: Optional[str] = None  # "bfloat16" halves first-moment memory (1B scale)

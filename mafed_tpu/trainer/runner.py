@@ -416,7 +416,9 @@ class TaskRunner:
                 best_trainable = jax.tree.map(lambda x: np.asarray(x), state.trainable)
             from mafed_tpu.core.dist import is_main_process
 
-            if resume_dir and is_main_process():
+            every = max(0, getattr(self.config, "resume_bundle_every", 1))
+            due = every > 0 and ((epoch + 1) % every == 0 or epoch == epochs - 1)
+            if resume_dir and due and is_main_process():
                 self._save_resume_bundle(
                     resume_dir, state,
                     {
