@@ -86,6 +86,7 @@ class TaskRunner:
         self._ce_window_step: Optional[Callable] = None
         self._ewc_window_step: Optional[Callable] = None
         self._mafed_window_step: Optional[Callable] = None
+        self._ckptr = None  # persistent orbax checkpointer for resume bundles
         # accumulation-window fusion: microbatches per jit step (1 = the
         # per-microbatch optax.MultiSteps path)
         self.window = 1
@@ -272,11 +273,18 @@ class TaskRunner:
         if best_trainable is not None:
             save_task_checkpoint(merge_params(best_trainable, state.frozen), self.model_cfg, os.path.join(resume_dir, "best.safetensors"))
         opt_path = os.path.abspath(os.path.join(resume_dir, "opt_state"))
+        # NOTE: orbax's async save blocks on the device->host transfer (the
+        # dominant cost on tunneled TPUs) and only backgrounds the disk
+        # write, so deferring wait_until_finished would buy little while
+        # leaving fit_state.json/opt_state skewed for a whole epoch after a
+        # crash. Bundles stay synchronous + self-consistent; the cost knob
+        # is config.resume_bundle_every.
+        if self._ckptr is None:
+            self._ckptr = ocp.StandardCheckpointer()
         if os.path.exists(opt_path):
             shutil.rmtree(opt_path)
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(opt_path, state.opt_state)
-        ckptr.wait_until_finished()
+        self._ckptr.save(opt_path, state.opt_state)
+        self._ckptr.wait_until_finished()
         with open(os.path.join(resume_dir, "fit_state.json"), "w") as f:
             json.dump(meta, f)
 
