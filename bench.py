@@ -32,6 +32,9 @@ A100_MFU = 0.35
 
 
 def main() -> None:
+    from mafed_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

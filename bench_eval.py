@@ -52,6 +52,9 @@ def _reference_eval_flops_per_example(cfg, text_len: int) -> float:
 
 
 def main() -> None:
+    from mafed_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -16,6 +16,9 @@ from mafed_tpu.trainer.continual import ContinualLearningTrainer
 
 
 def main(argv=None):
+    from mafed_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = build_arg_parser()
     config = parse_with_config(parser, argv)
     trainer = ContinualLearningTrainer(config)

@@ -29,9 +29,10 @@ def main() -> None:
 
     n_train = int(os.environ.get("SMOKE_N_TRAIN", "64"))
     epochs0 = int(os.environ.get("SMOKE_EPOCHS", "1"))
+    method = os.environ.get("SMOKE_METHOD", "featdistill")
     cfg = write_synthetic_vqa(workdir, n_train=n_train, n_val=8)
     cfg = cfg.replace(
-        cl_method="featdistill",
+        cl_method=method,
         output_dir=os.path.join(workdir, "out"),
         batch_size=16,
         val_batch_size=16,
@@ -44,6 +45,9 @@ def main() -> None:
         distillation_modality_weighing_strategy="balanced",
         distillation_layer_weighing_strategy="discounted",
         distillation_layer_discount=0.5,
+        reg_lambda=100.0,
+        ewc_state_dtype=os.environ.get("SMOKE_EWC_DTYPE", "float32"),
+        resume_bundle_every=int(os.environ.get("SMOKE_BUNDLE_EVERY", "1")),
         allow_tokenizer_fallback=True,
     )
     model_cfg = ModelConfig()  # the real 410M + EVA-02-L
