@@ -24,7 +24,7 @@ import optax
 from mafed_tpu.constants import PATIENCE_THRESHOLD
 from mafed_tpu.core.config import ModelConfig, TrainConfig
 from mafed_tpu.core.logging import LOGGER, MetricsLogger
-from mafed_tpu.core.mesh import batch_sharding, make_mesh
+from mafed_tpu.core.mesh import batch_sharding
 from mafed_tpu.data.collate import collate_train
 from mafed_tpu.data.loader import BatchLoader
 from mafed_tpu.data.prefetch import DevicePrefetcher
