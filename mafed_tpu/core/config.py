@@ -223,6 +223,11 @@ class TrainConfig:
     text_pad_multiple: int = 16  # bucket question lengths for shape stability
     val_max_batches: Optional[int] = None
     remat: bool = False
+    # jax.checkpoint policy for rematerialized decoder layers (window steps
+    # and remat=True): '' = plain per-layer remat; 'attn' saves attention
+    # outputs (skips recomputing the HBM-bound attention subgraph in
+    # backward); see training/step.resolve_remat_policy for the full set.
+    remat_policy: str = ""
     # Restrict the training lm_head + CE to the last `label_tail` text
     # positions. Under the CL layout (left padding; labels = -100 on the
     # question, answer⊕EOS as a suffix) the loss is bit-identical while the

@@ -62,10 +62,12 @@ class MetricsLogger:
                 if getattr(self._wandb, "define_metric", None):
                     self._wandb.define_metric("trainer/global_step")
                     self._wandb.define_metric("*", step_metric="trainer/global_step", step_sync=True)
+                    # the CL summary metrics are logged under validation/*
+                    # (trainer/continual.py validate_all_tasks) and plot
+                    # against the task index, not the train step
                     self._wandb.define_metric(
-                        "average_accuracy", step_metric="trainer/valid_step", step_sync=True
+                        "validation/*", step_metric="trainer/valid_step", step_sync=True
                     )
-                    self._wandb.define_metric("BWT", step_metric="trainer/valid_step", step_sync=True)
             except Exception as exc:  # pragma: no cover - depends on env
                 LOGGER.warning("wandb unavailable (%s); logging to %s", exc, self._jsonl_path)
 

@@ -10,10 +10,18 @@ live in [0, 257) inside the same 50304 vocab.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 from mafed_tpu.core.logging import LOGGER
+
+# In-repo vendored tokenizer assets (scripts/vendor_tokenizer.py populates
+# this on a machine with hub access; zero-egress TPU pods then need no
+# network and no cache). Checked before any hub/cache lookup.
+VENDORED_TOKENIZER_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets", "tokenizer"
+)
 
 
 @dataclass
@@ -62,38 +70,65 @@ def build_tokenizer(
     """Pythia tokenizer with pad=eos and left padding.
 
     `tokenizer_name` may be a hub id or a local directory containing
-    tokenizer files. When the real tokenizer is unavailable (no cache, no
-    network), this HARD-FAILS by default: silently swapping in the byte
-    fallback would change the vocabulary and every downstream accuracy
-    number. Tests and synthetic runs opt in with allow_fallback=True
+    tokenizer files. Resolution order (zero-egress-first — a hub lookup on
+    an air-gapped pod burns minutes of connect timeouts before failing):
+
+      1. a local directory path given as `tokenizer_name` (offline);
+      2. the in-repo vendored assets (VENDORED_TOKENIZER_DIR, offline);
+      3. the local HF cache (`local_files_only=True`, offline);
+      4. the hub — ONLY when MAFED_TOKENIZER_FROM_HUB=1 is set.
+
+    When the real tokenizer is unavailable, this HARD-FAILS (instantly — no
+    network attempt) by default: silently swapping in the byte fallback would
+    change the vocabulary and every downstream accuracy number. Tests and
+    synthetic runs opt in with allow_fallback=True
     (CLI: --allow_tokenizer_fallback).
     """
+    kwargs = dict(
+        model_max_length=model_max_length,
+        padding_side=padding_side,
+        truncation_side=truncation_side,
+    )
+    last_exc: Optional[Exception] = None
     try:
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(
-            tokenizer_name,
-            model_max_length=model_max_length,
-            padding_side=padding_side,
-            truncation_side=truncation_side,
-            local_files_only=False,
-        )
-        if tok.pad_token is None:
-            tok.pad_token = tok.eos_token
-        return tok
-    except Exception as exc:
-        if not allow_fallback:
-            raise RuntimeError(
-                f"tokenizer '{tokenizer_name}' is unavailable "
-                f"({type(exc).__name__}: {exc}). Real runs must tokenize "
-                "identically to the reference (pretrain_vlpythia.py:104-116); "
-                "point --tokenizer_name at a local directory with the Pythia "
-                "tokenizer files, or pass --allow_tokenizer_fallback to "
-                "accept a byte-level tokenizer (synthetic/test runs ONLY — "
-                "it changes the vocabulary and all accuracy numbers)."
-            ) from exc
-        LOGGER.warning(
-            "HF tokenizer '%s' unavailable (%s); using offline byte-level fallback",
-            tokenizer_name, type(exc).__name__,
-        )
-        return ByteTokenizer(model_max_length=model_max_length, padding_side=padding_side)
+        candidates = []
+        if os.path.isdir(tokenizer_name):
+            candidates.append((tokenizer_name, True))
+        else:
+            if os.path.exists(os.path.join(VENDORED_TOKENIZER_DIR, "tokenizer.json")):
+                candidates.append((VENDORED_TOKENIZER_DIR, True))
+            candidates.append((tokenizer_name, True))  # local HF cache only
+            if os.environ.get("MAFED_TOKENIZER_FROM_HUB") == "1":
+                candidates.append((tokenizer_name, False))
+        for source, local_only in candidates:
+            try:
+                tok = AutoTokenizer.from_pretrained(
+                    source, local_files_only=local_only, **kwargs
+                )
+                if tok.pad_token is None:
+                    tok.pad_token = tok.eos_token
+                return tok
+            except Exception as exc:  # try the next source
+                last_exc = exc
+    except Exception as exc:  # transformers itself unavailable
+        last_exc = exc
+    if not allow_fallback:
+        raise RuntimeError(
+            f"tokenizer '{tokenizer_name}' is unavailable "
+            f"({type(last_exc).__name__}: {last_exc}). Real runs must tokenize "
+            "identically to the reference (pretrain_vlpythia.py:104-116). "
+            "Options: vendor the assets in-repo with scripts/vendor_tokenizer.py "
+            "(run once on a machine with hub access), point --tokenizer_name "
+            "at a local directory with the Pythia tokenizer files, set "
+            "MAFED_TOKENIZER_FROM_HUB=1 to allow a network fetch, or pass "
+            "--allow_tokenizer_fallback to accept a byte-level tokenizer "
+            "(synthetic/test runs ONLY — it changes the vocabulary and all "
+            "accuracy numbers)."
+        ) from last_exc
+    LOGGER.warning(
+        "HF tokenizer '%s' unavailable (%s); using offline byte-level fallback",
+        tokenizer_name, type(last_exc).__name__,
+    )
+    return ByteTokenizer(model_max_length=model_max_length, padding_side=padding_side)

@@ -38,14 +38,32 @@ def validate_vqa(
     batch_size: int,
     max_batches: Optional[int] = None,
     sharding=None,
+    param_sharding=None,
 ) -> Tuple[Dict, Dict]:
     """Generative VQA eval. With `sharding` the decode batch is placed with
     the mesh's batch sharding, so generation runs SPMD over the data axis;
     each process scores its own shard host-side and (score_sum, n_ex) are
     summed across processes afterwards — the TPU-native replacement for the
     reference metric's dist_sync_on_step NCCL all_reduce
-    (eval_utils.py:83-104,135-138)."""
+    (eval_utils.py:83-104,135-138).
+
+    Multi-process pods pass a process-LOCAL `sharding` (decode is per-process,
+    not collective — shards have unequal batch counts) plus `param_sharding`,
+    a local replicated sharding: params are DP-replicated globally, so each
+    process re-places one local copy and decode fans out over all of its
+    local chips instead of idling all but the first."""
     import jax
+
+    if param_sharding is not None:
+        def _localize(x):
+            try:
+                return jax.device_put(x, param_sharding)
+            except (ValueError, RuntimeError):
+                # cross-sharding transfer refused: go through the host —
+                # valid because DP params are fully replicated (addressable)
+                return jax.device_put(np.asarray(x), param_sharding)
+
+        params = jax.tree.map(_localize, params)
 
     n_ex = 0
     start = time.time()

@@ -151,6 +151,7 @@ class ContinualLearningTrainer:
                 self.config.val_batch_size,
                 max_batches=self.config.val_max_batches,
                 sharding=self.runner.eval_sharding,
+                param_sharding=self.runner.eval_param_sharding,
             )
             accuracy[val_task_id, task_id] = val_log["valid/acc"]
 

@@ -67,10 +67,27 @@ class TaskRunner:
         self.train_text_len = _round_up(config.max_txt_len + 20, pad_m)
         self.val_text_len = _round_up(config.max_txt_len + 4, pad_m)
         self._batch_sharding = batch_sharding(mesh) if mesh is not None else None
-        # SPMD eval sharding: single-process only — a globally-sharded decode
-        # is collective, and per-process val shards may have unequal batch
-        # counts (multi-process eval decodes locally + reduces metric sums)
-        self.eval_sharding = self._batch_sharding if jax.process_count() == 1 else None
+        # SPMD eval sharding. Single-process: the mesh's batch sharding.
+        # Multi-process: a globally-sharded decode would be collective, and
+        # per-process val shards have unequal batch counts (deadlock) — so
+        # each process decodes its own shard, but over ALL of its local
+        # devices via a process-local mesh (params are DP-replicated, so a
+        # local replicated copy is cheap); metric sums reduce afterwards.
+        self.eval_param_sharding = None
+        if jax.process_count() == 1:
+            self.eval_sharding = self._batch_sharding
+        else:
+            local = jax.local_devices()
+            if len(local) > 1 and config.val_batch_size % len(local) == 0:
+                local_mesh = jax.sharding.Mesh(np.asarray(local), ("data",))
+                self.eval_sharding = jax.sharding.NamedSharding(
+                    local_mesh, jax.sharding.PartitionSpec("data")
+                )
+                self.eval_param_sharding = jax.sharding.NamedSharding(
+                    local_mesh, jax.sharding.PartitionSpec()
+                )
+            else:
+                self.eval_sharding = None
 
         self.decoder = make_greedy_decoder(
             model_cfg,
@@ -164,10 +181,6 @@ class TaskRunner:
                 and accum > 1
                 and strategy is not None
                 and strategy.supports_fused_window(accum)
-                # stack_window stacks device batches host-side, which needs
-                # every shard addressable — single-controller only; multi-
-                # process pods keep the per-microbatch MultiSteps path
-                and jax.process_count() == 1
             )
             self.window = accum if fused else 1
             tx = build_optimizer(self.config, trainable_template)
@@ -179,8 +192,9 @@ class TaskRunner:
                 LOGGER.info("fused accumulation windows: %d microbatches/step", accum)
         if self.window > 1 and batches_per_epoch < self.window:
             LOGGER.warning(
-                "epoch has %d batches < window %d: fused-window training would "
-                "drop every batch (the trailing partial window is discarded)",
+                "epoch has %d batches < window %d: accumulation windows span "
+                "multiple epochs (microbatches carry over; an optimizer step "
+                "only fires once a window fills)",
                 batches_per_epoch, self.window,
             )
 
@@ -201,11 +215,33 @@ class TaskRunner:
     # -- fused accumulation windows ---------------------------------------------
     def stack_window(self, batches):
         """Stack a window's device batches along a new leading microbatch dim,
-        re-laid-out so the batch dim stays sharded over 'data' under a mesh."""
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-        if self._window_sharding is not None:
-            stacked = jax.device_put(stacked, self._window_sharding)
-        return stacked
+        laid out P(None, 'data') so the batch dim stays sharded over 'data'.
+
+        Each device stacks its OWN shards of the microbatches locally (a
+        committed-device jnp.stack — no resharding, no host gather), then the
+        global [n_mb, B, ...] array is assembled from the per-device pieces
+        with make_array_from_single_device_arrays. This works identically on
+        a single-controller mesh and on multi-process pods, where the
+        microbatches are global jax.Arrays whose remote shards are NOT
+        addressable — the previous global-stack + device_put form required
+        every shard to be addressable and restricted fused windows to
+        single-controller runs."""
+        if self._window_sharding is None:
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        n_mb = len(batches)
+        wsh = self._window_sharding
+
+        def assemble(*xs):
+            per_dev: Dict[Any, list] = {}
+            for x in xs:
+                for shard in x.addressable_shards:
+                    per_dev.setdefault(shard.device, []).append(shard.data)
+            arrays = [jnp.stack(datas) for datas in per_dev.values()]
+            return jax.make_array_from_single_device_arrays(
+                (n_mb,) + xs[0].shape, wsh, arrays
+            )
+
+        return jax.tree.map(assemble, *batches)
 
     def ce_window_step(self, state, stacked):
         if self._ce_window_step is None:
@@ -248,6 +284,18 @@ class TaskRunner:
         trainable, frozen = split_params(params)
         if self.tx is None:
             raise RuntimeError("call setup_task_optimizer first")
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-process SPMD: params must be GLOBAL arrays before any
+            # jit touches them (each process holds the same host values —
+            # from the same checkpoint/seed — so device_put just writes the
+            # addressable shards). shard_params applies the TP layout where
+            # configured and replication elsewhere; optimizer moments follow
+            # via zeros_like, and host-local scalars (schedule counters,
+            # step) auto-replicate at dispatch.
+            from mafed_tpu.core.mesh import shard_params
+
+            trainable = shard_params(trainable, self.mesh)
+            frozen = shard_params(frozen, self.mesh)
         opt_state = self.tx.init(trainable)
         opt_state = set_schedule(opt_state, *self._sched)
         frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
@@ -260,18 +308,30 @@ class TaskRunner:
     # points at the bundle directory.
 
     def _save_resume_bundle(self, resume_dir: str, state: TrainState, meta: Dict[str, Any], best_trainable) -> None:
+        """Save an epoch-granular resume bundle.
+
+        COLLECTIVE on multi-process pods: the orbax save of a globally-
+        sharded opt_state needs every process to participate (each writes its
+        addressable shards to the shared dir) — rank-0-only gating here would
+        deadlock or raise on non-addressable shards (ADVICE r2). Only the
+        host-side artifacts (safetensors, fit_state.json) are rank-0 gated;
+        params are DP-replicated so rank 0 can materialize them.
+        """
         import json
         import shutil
 
         import orbax.checkpoint as ocp
 
+        from mafed_tpu.core.dist import is_main_process
         from mafed_tpu.training.train_state import merge_params
         from mafed_tpu.utils.checkpoint import save_task_checkpoint
 
+        main = is_main_process()
         os.makedirs(resume_dir, exist_ok=True)
-        save_task_checkpoint(merge_params(state.trainable, state.frozen), self.model_cfg, os.path.join(resume_dir, "model.safetensors"))
-        if best_trainable is not None:
-            save_task_checkpoint(merge_params(best_trainable, state.frozen), self.model_cfg, os.path.join(resume_dir, "best.safetensors"))
+        if main:
+            save_task_checkpoint(merge_params(state.trainable, state.frozen), self.model_cfg, os.path.join(resume_dir, "model.safetensors"))
+            if best_trainable is not None:
+                save_task_checkpoint(merge_params(best_trainable, state.frozen), self.model_cfg, os.path.join(resume_dir, "best.safetensors"))
         opt_path = os.path.abspath(os.path.join(resume_dir, "opt_state"))
         # NOTE: orbax's async save blocks on the device->host transfer (the
         # dominant cost on tunneled TPUs) and only backgrounds the disk
@@ -282,11 +342,19 @@ class TaskRunner:
         if self._ckptr is None:
             self._ckptr = ocp.StandardCheckpointer()
         if os.path.exists(opt_path):
-            shutil.rmtree(opt_path)
+            if main:
+                shutil.rmtree(opt_path)
+            if jax.process_count() > 1:
+                # every process must observe the cleared dir before the
+                # collective save repopulates it
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("resume_bundle_rmtree")
         self._ckptr.save(opt_path, state.opt_state)
         self._ckptr.wait_until_finished()
-        with open(os.path.join(resume_dir, "fit_state.json"), "w") as f:
-            json.dump(meta, f)
+        if main:
+            with open(os.path.join(resume_dir, "fit_state.json"), "w") as f:
+                json.dump(meta, f)
 
     def _load_resume_bundle(self, resume_dir: str, state: TrainState):
         import json
@@ -342,22 +410,23 @@ class TaskRunner:
                 history = meta.get("history", [])
                 LOGGER.info("resuming task %d at epoch %d", task_id, start_epoch)
 
+        # fused-window accumulation carries across epoch boundaries, exactly
+        # like the optax.MultiSteps fallback (and PL gradient accumulation):
+        # a trailing partial window joins the next epoch's first microbatches
+        # instead of being silently dropped (ADVICE r2)
+        window_buf = []
         for epoch in range(start_epoch, epochs):
             epoch_start = time.time()
             n_seen = 0
             loader.set_epoch(epoch)
             profiling = False
-            window_buf = []
             last_logged = global_step
             for batch_idx, batch in enumerate(self.device_batches(loader)):
                 if self.config.profile_dir and task_id == 0 and epoch == 0 and batch_idx == 10:
                     jax.profiler.start_trace(self.config.profile_dir)
                     profiling = True
                 if self.window > 1:
-                    # fused accumulation windows: one jit step per window; a
-                    # trailing partial window (< window microbatches at epoch
-                    # end) is dropped — MultiSteps would instead carry it
-                    # into the next epoch's accumulation
+                    # fused accumulation windows: one jit step per window
                     window_buf.append((batch_idx, batch))
                     if len(window_buf) < self.window:
                         continue
@@ -402,6 +471,7 @@ class TaskRunner:
                 self.config.val_batch_size,
                 max_batches=self.config.val_max_batches,
                 sharding=self.eval_sharding,
+                param_sharding=self.eval_param_sharding,
             )
             acc = float(val_log["valid/acc"])
             history.append({"epoch": epoch, "acc": acc, "train_ex_per_s": ex_per_s})
@@ -422,11 +492,11 @@ class TaskRunner:
             if acc > best_acc:
                 best_acc = acc
                 best_trainable = jax.tree.map(lambda x: np.asarray(x), state.trainable)
-            from mafed_tpu.core.dist import is_main_process
-
             every = max(0, getattr(self.config, "resume_bundle_every", 1))
             due = every > 0 and ((epoch + 1) % every == 0 or epoch == epochs - 1)
-            if resume_dir and due and is_main_process():
+            # NOT rank-0 gated: the bundle save is a collective (orbax writes
+            # each process's opt_state shards); gating happens inside
+            if resume_dir and due:
                 self._save_resume_bundle(
                     resume_dir, state,
                     {
@@ -439,6 +509,15 @@ class TaskRunner:
                 LOGGER.info("early stopping at epoch %d (patience %d)", epoch, self.config.patience)
                 break
 
+        if window_buf:
+            # end-of-fit remainder that never completed a window: the same
+            # partial-accumulation residue MultiSteps would leave in its
+            # accumulator at fit end — not applied, but never silent
+            LOGGER.info(
+                "fit end: %d trailing microbatches did not fill an accumulation "
+                "window (window=%d) and were not applied",
+                len(window_buf), self.window,
+            )
         if best_trainable is None:
             best_trainable = jax.tree.map(lambda x: np.asarray(x), state.trainable)
         fit_log = {"best_acc": best_acc, "epochs_run": len(history), "history": history, "global_step": global_step}

@@ -41,6 +41,36 @@ QUESTIONS = [
 ]
 
 
+def synthetic_config(root: str, tasks=("taskA", "taskB")) -> TrainConfig:
+    """The TrainConfig matching write_synthetic_vqa's on-disk layout, without
+    touching the filesystem (multi-process workers rebuild it against data a
+    parent already wrote)."""
+    return TrainConfig(
+        output_dir=os.path.join(root, "out"),
+        data_dir=root,
+        question_task_ids=os.path.join(root, "contvqa"),
+        exp="tiny",
+        tasks=list(tasks),
+        train_img_dirs=["unused"],
+        val_img_dirs=["unused"],
+        batch_size=4,
+        val_batch_size=4,
+        accumulate_grad_batches=1,
+        epochs=[1, 1],
+        max_txt_len=24,
+        n_workers=2,
+        val_num_workers=2,
+        learning_rate=1e-3,
+        optim="adamw",
+        weight_decay=0.01,
+        text_pad_multiple=8,
+        mesh_shape=[1, 1],
+        log_every=1,
+        seed=42,
+        allow_tokenizer_fallback=True,  # synthetic data; offline test env
+    )
+
+
 def write_synthetic_vqa(root: str, tasks=("taskA", "taskB"), n_train: int = 24, n_val: int = 8) -> TrainConfig:
     """Create {split}_annotations.json + split files shaped like the real data."""
     os.makedirs(os.path.join(root, "contvqa", "tiny"), exist_ok=True)
@@ -82,27 +112,4 @@ def write_synthetic_vqa(root: str, tasks=("taskA", "taskB"), n_train: int = 24, 
     with open(os.path.join(root, "contvqa", "tiny", "valid_question_ids.json"), "w") as f:
         json.dump(val_split, f)
 
-    return TrainConfig(
-        output_dir=os.path.join(root, "out"),
-        data_dir=root,
-        question_task_ids=os.path.join(root, "contvqa"),
-        exp="tiny",
-        tasks=list(tasks),
-        train_img_dirs=["unused"],
-        val_img_dirs=["unused"],
-        batch_size=4,
-        val_batch_size=4,
-        accumulate_grad_batches=1,
-        epochs=[1, 1],
-        max_txt_len=24,
-        n_workers=2,
-        val_num_workers=2,
-        learning_rate=1e-3,
-        optim="adamw",
-        weight_decay=0.01,
-        text_pad_multiple=8,
-        mesh_shape=[1, 1],
-        log_every=1,
-        seed=42,
-        allow_tokenizer_fallback=True,  # synthetic data; offline test env
-    )
+    return synthetic_config(root, tasks)

@@ -1,0 +1,102 @@
+"""Worker entry for the REAL multi-process test (test_multiprocess.py).
+
+Runs the full ContinualLearningTrainer (fused MAFED windows, sharded
+loaders, resume bundles, generative validation with cross-process metric
+reduction) under `jax.distributed` with N processes x 2 virtual CPU devices
+each. With nproc=1 it is the single-process comparator on the same 4-device
+topology.
+
+argv: <process_id> <num_processes> <coordinator_port> <data_root> <out_tag>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    pid, nproc = int(sys.argv[1]), int(sys.argv[2])
+    port, root, out_tag = sys.argv[3], sys.argv[4], sys.argv[5]
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        n_local = 2 if nproc > 1 else 4
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_local}"
+        )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # share the test suite's persistent compile cache (tiny programs recompile
+    # identically across workers)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+        )
+        assert jax.process_count() == nproc
+        assert jax.device_count() == 2 * nproc
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from helpers import synthetic_config, tiny_model_cfg
+
+    from mafed_tpu.core.dist import is_main_process, process_reduce_sum
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    # the host-scalar reduction used by validate_vqa (reference NCCL
+    # all_reduce, eval_utils.py:135-138) — checked directly with known values
+    red = process_reduce_sum(float(pid) + 1.0, 10.0)
+    expected = (sum(range(1, nproc + 1)) * 1.0, 10.0 * nproc)
+
+    cfg = synthetic_config(root)
+    cfg.output_dir = os.path.join(root, out_tag)
+    # fused MAFED windows: global batch 8 (4 per process at nproc=2), accum 2
+    cfg.batch_size = 8
+    cfg.val_batch_size = 4
+    cfg.accumulate_grad_batches = 2
+    cfg.replay_interval = 2
+    cfg.cl_method = "featdistill"
+    cfg.cl_memory = 8
+    cfg.replay_coeff = 1.0
+    cfg.distillation_coeff = 1.0
+    cfg.distillation_modality_weighing_strategy = "balanced"
+    cfg.distillation_layer_weighing_strategy = "discounted"
+    cfg.epochs = [2, 2]
+    cfg.mesh_shape = [-1, 1]
+    cfg.fused_window = True
+    cfg.resume_bundle_every = 1
+
+    trainer = ContinualLearningTrainer(cfg, model_cfg=tiny_model_cfg(), synthetic_images=True)
+    assert trainer.is_main == (pid == 0)
+    assert (trainer.metrics is None) == (pid != 0)
+    result = trainer.main()
+    # set during setup_task_optimizer: fused windows must stay ON under
+    # multi-process (the single-controller restriction is lifted)
+    assert trainer.runner.window == 2, f"fused windows off: window={trainer.runner.window}"
+
+    with open(os.path.join(root, f"worker_{out_tag}_{pid}.json"), "w") as f:
+        json.dump(
+            {
+                "pid": pid,
+                "reduce": list(red),
+                "reduce_expected": list(expected),
+                "accuracy_matrix": result["accuracy_matrix"],
+                "average_accuracy": result["average_accuracy"],
+                "bwt": result["bwt"],
+                "is_main": trainer.is_main,
+                "window": trainer.runner.window,
+            },
+            f,
+        )
+    print(f"worker {pid}/{nproc} ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()
