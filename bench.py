@@ -23,6 +23,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -62,6 +63,9 @@ def main() -> None:
         distillation_modality_weighing_strategy="balanced",
         distillation_layer_weighing_strategy="discounted",
         distillation_layer_discount=0.5,
+        # remat-policy sweeps without code edits (training/step.
+        # resolve_remat_policy names); '' = plain per-layer remat
+        remat_policy=os.environ.get("MAFED_BENCH_REMAT_POLICY", ""),
     )
 
     params = vl_pythia.init_params(

@@ -126,6 +126,7 @@ def apply(
     layer_perturbation: Optional[jax.Array] = None,
     num_layers: Optional[int] = None,
     remat: bool = False,
+    remat_policy=None,
 ) -> Dict[str, Any]:
     """Run the decoder stack over precomputed input embeddings.
 
@@ -135,6 +136,12 @@ def apply(
     backward pass, trading ~1 extra decoder forward for the residual memory.
     This is what makes fused accumulation windows (large effective batch)
     fit in HBM.
+
+    remat_policy (with remat=True): a jax.checkpoint policy — e.g.
+    save_only_these_names over the checkpoint_name tags 'qkv', 'attn_out',
+    'mlp_up' below — that keeps SELECTED layer intermediates instead of
+    recomputing everything, spending measured HBM headroom to cut the remat
+    recompute FLOPs (see training/step.resolve_remat_policy).
 
     Returns {"last_hidden_state", "hidden_states" (optional, [L+1, B, T, H]
     matching HF's tuple: embeddings, per-layer outputs, final post-LN),
@@ -199,6 +206,7 @@ def apply(
             ln2 = _layer_norm(h, lp["post_attention_layernorm"]["weight"], lp["post_attention_layernorm"]["bias"], eps)
             mlp_in = ln2
         up = mlp_in @ lp["mlp"]["dense_h_to_4h"]["weight"].astype(dtype) + lp["mlp"]["dense_h_to_4h"]["bias"].astype(dtype)
+        up = checkpoint_name(up, "mlp_up")
         act = jax.nn.gelu(up, approximate=False)
         down = act @ lp["mlp"]["dense_4h_to_h"]["weight"].astype(dtype) + lp["mlp"]["dense_4h_to_h"]["bias"].astype(dtype)
 
@@ -210,12 +218,16 @@ def apply(
             h_new = h_new + pert.astype(h_new.dtype)
         return h_new, (h_new, new_cache)
 
+    from jax.ad_checkpoint import checkpoint_name
+
     def layer_fn(carry, xs):
         h = carry
         lp, layer_cache, pert = xs
         ln1 = _layer_norm(h, lp["input_layernorm"]["weight"], lp["input_layernorm"]["bias"], eps)
         qkv = ln1 @ lp["attention"]["query_key_value"]["weight"].astype(dtype)
         qkv = qkv + lp["attention"]["query_key_value"]["bias"].astype(dtype)
+        # identity outside a policy'd jax.checkpoint; saveable tap inside
+        qkv = checkpoint_name(qkv, "qkv")
         # HF fused layout: [..., heads, 3*head_dim]
         qkv = qkv.reshape(batch, t_new, n_heads, 3 * head_dim)
         # NOTE: a BTHD fast path (skipping these transposes via
@@ -246,6 +258,7 @@ def apply(
         attn_out = attn_out.transpose(0, 2, 1, 3).reshape(batch, t_new, hidden)
         attn_out = attn_out @ lp["attention"]["dense"]["weight"].astype(dtype)
         attn_out = attn_out + lp["attention"]["dense"]["bias"].astype(dtype)
+        attn_out = checkpoint_name(attn_out, "attn_out")
         return _finish_layer(h, attn_out, lp, pert, new_cache)
 
     if cache is not None:
@@ -274,7 +287,9 @@ def apply(
 
             if remat:
                 # prevent_cse is safe (and needed for speed) under scan
-                layer_fn_nocache = jax.checkpoint(layer_fn_nocache, prevent_cse=False)
+                layer_fn_nocache = jax.checkpoint(
+                    layer_fn_nocache, prevent_cse=False, policy=remat_policy
+                )
             h_final, (layer_outs, _) = jax.lax.scan(layer_fn_nocache, h, layer_params)
         new_cache = None
 

@@ -178,6 +178,7 @@ def forward(
     need_logits: bool = True,
     num_layers: Optional[int] = None,
     remat_layers: bool = False,
+    remat_policy=None,
     label_tail: Optional[int] = None,
 ) -> VLPythiaOutput:
     """Full training/eval forward (no KV cache; see evaluation.decode for that).
@@ -225,6 +226,7 @@ def forward(
         layer_perturbation=layer_pert,
         num_layers=num_layers,
         remat=remat_layers,
+        remat_policy=remat_policy,
     )
     hidden = dec["last_hidden_state"]
     if not need_logits and labels is None:

@@ -39,7 +39,38 @@ def _prep_pixels(batch: Dict[str, jax.Array], cfg: ModelConfig, dtype) -> jax.Ar
     return prep_pixels(batch, cfg.vision, dtype)
 
 
-def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat=False, patches=None, label_tail=None):
+def resolve_remat_policy(name: str):
+    """Map TrainConfig.remat_policy to a jax.checkpoint policy.
+
+    '' / 'full': plain per-layer remat (save only the scan carry; recompute
+    everything in backward). The named policies additionally SAVE selected
+    layer intermediates (checkpoint_name tags in gpt_neox.layer_fn), trading
+    HBM for remat recompute FLOPs:
+      'attn'      — attention outputs ([B,T,H]/layer): skips recomputing the
+                    whole attention subgraph (qkv matmul, rotary, softmax
+                    einsums — the HBM-bound part of the layer) in backward
+      'attn_qkv'  — + post-QKV projections (3x[B,T,H]/layer)
+      'attn_mlp'  — + MLP up-projections (4x[B,T,H]/layer): backward then
+                    recomputes nothing but layernorms/gelu
+      'dots'      — jax's dots_with_no_batch_dims_saveable (every weight
+                    matmul output)
+    """
+    if not name or name == "full":
+        return None
+    named = {
+        "attn": ("attn_out",),
+        "attn_qkv": ("attn_out", "qkv"),
+        "attn_mlp": ("attn_out", "mlp_up"),
+        "attn_qkv_mlp": ("attn_out", "qkv", "mlp_up"),
+    }
+    if name in named:
+        return jax.checkpoint_policies.save_only_these_names(*named[name])
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy '{name}'")
+
+
+def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat=False, patches=None, label_tail=None, remat_policy=None):
     """remat=True rematerializes decoder layers during backward (per-layer
     jax.checkpoint inside the layer scan — NOT a whole-forward checkpoint,
     which would pointlessly recompute the frozen vision tower too)."""
@@ -51,7 +82,8 @@ def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat
         params, cfg, batch["input_ids"], pixel_values, batch["attention_mask"], batch["labels"],
         patch_embeddings=patches,
         dtype=dtype, attn_impl=attn_impl, vision_attn_impl="xla",
-        loss_only=True, remat_layers=remat, label_tail=label_tail,
+        loss_only=True, remat_layers=remat, remat_policy=remat_policy,
+        label_tail=label_tail,
     ).loss
 
 
@@ -86,10 +118,11 @@ def make_train_step(
     """
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
     tail = getattr(train_cfg, "label_tail", None) or None
+    policy = resolve_remat_policy(getattr(train_cfg, "remat_policy", ""))
 
     def step(state: TrainState, batch: Dict[str, jax.Array], ewc_state=None):
         def loss_fn(trainable):
-            loss = _ce_loss(trainable, state.frozen, model_cfg, batch, dtype, attn_impl, remat=train_cfg.remat, label_tail=tail)
+            loss = _ce_loss(trainable, state.frozen, model_cfg, batch, dtype, attn_impl, remat=train_cfg.remat, label_tail=tail, remat_policy=policy)
             if with_ewc and ewc_state is not None:
                 loss = loss + ewc_penalty(trainable, ewc_state, train_cfg.reg_lambda)
             return loss
@@ -167,6 +200,7 @@ def make_ce_window_step(
     if attn_impl == "auto":
         attn_impl = "xla"
     tail = getattr(train_cfg, "label_tail", None) or None
+    policy = resolve_remat_policy(getattr(train_cfg, "remat_policy", ""))
 
     def step(state: TrainState, batches, ewc_state=None):
         merged = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
@@ -175,7 +209,7 @@ def make_ce_window_step(
             # remat: the n_mb*b-row fused pass keeps per-layer residuals only
             loss = _ce_loss(
                 trainable, state.frozen, model_cfg, merged, dtype, attn_impl,
-                remat=train_cfg.remat or remat, label_tail=tail,
+                remat=train_cfg.remat or remat, label_tail=tail, remat_policy=policy,
             )
             if with_ewc and ewc_state is not None:
                 # MultiSteps adds the penalty to every microbatch loss and
@@ -302,6 +336,7 @@ def make_distill_loss_fn(
 
     n_vis = model_cfg.vision.num_patches  # 256 for EVA-02-L/14 @224
     tail = getattr(train_cfg, "label_tail", None) or None
+    student_policy = resolve_remat_policy(getattr(train_cfg, "remat_policy", ""))
 
     def loss_fn(trainable, frozen, teacher_trainable, batch, lang_coeffs, patches=None):
         lang_mask, image_mask = modality_masks(batch["attention_mask"], n_vis)
@@ -322,6 +357,7 @@ def make_distill_loss_fn(
             need_logits=replay_coeff > 0,
             num_layers=None if replay_coeff > 0 else deepest_tap,
             remat_layers=remat_student,
+            remat_policy=student_policy,
             label_tail=tail,
         )
         teacher_params = merge_params(teacher_trainable, frozen)
@@ -464,6 +500,7 @@ def make_mafed_window_step(
     denom = float(n_ce + 1)
     share_vision = share_vision and fuse_ce_batch
     tail = getattr(train_cfg, "label_tail", None) or None
+    policy = resolve_remat_policy(getattr(train_cfg, "remat_policy", ""))
 
     def step(state: TrainState, teacher_trainable, ce_batches, distill_batch, lang_coeffs):
         ce_patches = distill_patches = None
@@ -488,7 +525,7 @@ def make_mafed_window_step(
             return _ce_loss(
                 trainable, state.frozen, model_cfg, mb, dtype, attn_impl,
                 remat=train_cfg.remat or remat_ce, patches=ce_patches,
-                label_tail=tail,
+                label_tail=tail, remat_policy=policy,
             )
 
         def window_loss(trainable):

@@ -48,6 +48,11 @@ def main() -> None:
         reg_lambda=100.0,
         ewc_state_dtype=os.environ.get("SMOKE_EWC_DTYPE", "float32"),
         resume_bundle_every=int(os.environ.get("SMOKE_BUNDLE_EVERY", "1")),
+        # production logging cadence by default (the r2 smoke's log_every=1
+        # forced a host sync after EVERY window and understated integrated
+        # throughput by ~20%)
+        log_every=int(os.environ.get("SMOKE_LOG_EVERY", "50")),
+        remat_policy=os.environ.get("SMOKE_REMAT_POLICY", ""),
         allow_tokenizer_fallback=True,
     )
     model_cfg = ModelConfig()  # the real 410M + EVA-02-L
