@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -49,7 +50,9 @@ def main() -> None:
     from __graft_entry__ import _example_batch
 
     model_cfg = ModelConfig()  # VL-Pythia-410M + EVA-02-L defaults
-    b, text_len, n_ce = 16, 80, 3
+    # sweep knobs (experiments only; the headline uses the defaults)
+    b = int(os.environ.get("MAFED_BENCH_B", "16"))
+    text_len, n_ce = 80, int(os.environ.get("MAFED_BENCH_NCE", "3"))
     train_cfg = TrainConfig(
         batch_size=b,
         accumulate_grad_batches=1,
@@ -85,14 +88,43 @@ def main() -> None:
         )
         for k in batch
     }
+
+    # Default: the vision-cache steady state (trainer default vision_cache=True
+    # — frozen EVA-02 features are computed once per unique image at task
+    # priming and the window step consumes them directly; see
+    # data/vision_cache.py). MAFED_BENCH_VISION=uncached measures the window
+    # with the in-step vision pass (the r1/r2 workload).
+    if os.environ.get("MAFED_BENCH_VISION", "cached") != "uncached":
+        from mafed_tpu.data.images import make_normalizer
+        from mafed_tpu.training.train_state import merge_params
+
+        normalize = make_normalizer(model_cfg.vision)
+        vis_params = {"vision": frozen["vision"]}
+
+        # params must be an ARGUMENT: closure-captured device arrays bake
+        # into the program as constants (a 413-sized compile request on the
+        # remote-compile tunnel)
+        @jax.jit
+        def feats(p, px):
+            return vl_pythia.get_patch_embeddings(
+                p, model_cfg, normalize(px), dtype=jnp.bfloat16, attn_impl="xla"
+            )
+
+        batch["patches"] = feats(vis_params, batch.pop("pixels"))
+        ce_px = ce_stack.pop("pixels")
+        ce_stack["patches"] = jnp.stack([feats(vis_params, ce_px[i]) for i in range(n_ce)])
+        jax.block_until_ready(ce_stack["patches"])
+        print("vision features precomputed", file=sys.stderr, flush=True)
     num_layers = model_cfg.num_hidden_layers - 1
     lang_coeffs = jnp.full((num_layers,), 0.5, jnp.float32)
 
     step = make_mafed_window_step(model_cfg, train_cfg, tx, n_ce=n_ce)
 
     # warmup + compile
+    print("compiling window step...", file=sys.stderr, flush=True)
     state, metrics = step(state, teacher, ce_stack, batch, lang_coeffs)
     jax.block_until_ready(metrics["loss"])
+    print("compiled; timing", file=sys.stderr, flush=True)
 
     ex_per_window = (n_ce + 1) * b
     iters = 10

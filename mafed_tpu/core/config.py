@@ -241,6 +241,12 @@ class TrainConfig:
     # window. Falls back to per-microbatch MultiSteps when a strategy's
     # replay cadence can't fold into windows (replay_interval < accum).
     fused_window: bool = True
+    # disk cache of frozen vision-tower features (data/vision_cache.py),
+    # primed once per unique image; steady-state train/eval steps then skip
+    # the EVA-02 tower AND host JPEG decode entirely. Bit-identical
+    # gradients (the tower is frozen and the transform deterministic).
+    vision_cache: bool = True
+    vision_cache_dir: Optional[str] = None  # default: {output_dir}/vision_cache
     log_every: int = 50
     profile_dir: Optional[str] = None  # capture a jax.profiler trace of steps 10-20
 

@@ -45,13 +45,29 @@ def collate_train(items: List[Dict], text_len: int, label_tail: Optional[int] = 
     for i, it in enumerate(items):
         n = min(len(it["input_ids"]), text_len)
         attention_mask[i, text_len - n:] = 1
-    pixels = np.stack([it["pixels"] for it in items])
-    return {
+    out = {
         "input_ids": input_ids,
         "attention_mask": attention_mask,
         "labels": labels,
-        "pixels": pixels,
     }
+    out.update(_collate_vision(items))
+    return out
+
+
+def _collate_vision(items: List[Dict]) -> Dict[str, np.ndarray]:
+    """Stack the batch's vision input: cached patch features when present
+    (vision_cache steady state), raw uint8 pixels otherwise. Mixed batches
+    indicate a partially-primed cache — fail loudly rather than compile a
+    second step signature mid-epoch."""
+    has_patches = ["patches" in it for it in items]
+    if all(has_patches):
+        return {"patches": np.stack([it["patches"] for it in items])}
+    if any(has_patches):
+        raise ValueError(
+            "batch mixes cached vision features and raw pixels; prime the "
+            "vision cache over the full dataset before training"
+        )
+    return {"pixels": np.stack([it["pixels"] for it in items])}
 
 
 def collate_val(items: List[Dict], text_len: int) -> Dict:
@@ -60,11 +76,11 @@ def collate_val(items: List[Dict], text_len: int) -> Dict:
     for i, it in enumerate(items):
         n = min(len(it["input_ids"]), text_len)
         attention_mask[i, text_len - n:] = 1
-    pixels = np.stack([it["pixels"] for it in items])
-    return {
+    out = {
         "input_ids": input_ids,
         "attention_mask": attention_mask,
-        "pixels": pixels,
         "answers": [it["answers"] for it in items],
         "qids": [it["question_id"] for it in items],
     }
+    out.update(_collate_vision(items))
+    return out

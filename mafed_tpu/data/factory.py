@@ -31,7 +31,7 @@ def _img_dirs_for(config: TrainConfig, task: str, dirs) -> List[str]:
     return dirs
 
 
-def prepare_train_dataset(config: TrainConfig, task: str, tokenizer, vision_cfg: VisionConfig, synthetic_images: bool = False):
+def prepare_train_dataset(config: TrainConfig, task: str, tokenizer, vision_cfg: VisionConfig, synthetic_images: bool = False, vision_cache=None):
     datasets = [
         VQADataset(
             tokenizer=tokenizer,
@@ -43,13 +43,14 @@ def prepare_train_dataset(config: TrainConfig, task: str, tokenizer, vision_cfg:
             split="train",
             max_txt_len=config.max_txt_len,
             synthetic_images=synthetic_images,
+            vision_cache=vision_cache,
         )
         for img_dir in _img_dirs_for(config, task, config.train_img_dirs)
     ]
     return ConcatDataset(datasets)
 
 
-def prepare_val_dataset(config: TrainConfig, task: str, tokenizer, vision_cfg: VisionConfig, synthetic_images: bool = False):
+def prepare_val_dataset(config: TrainConfig, task: str, tokenizer, vision_cfg: VisionConfig, synthetic_images: bool = False, vision_cache=None):
     datasets = [
         VQADataset(
             tokenizer=tokenizer,
@@ -61,6 +62,7 @@ def prepare_val_dataset(config: TrainConfig, task: str, tokenizer, vision_cfg: V
             split="val",
             max_txt_len=config.max_txt_len,
             synthetic_images=synthetic_images,
+            vision_cache=vision_cache,
         )
         for img_dir in _img_dirs_for(config, task, config.val_img_dirs)
     ]
@@ -87,12 +89,12 @@ def make_val_loader(config: TrainConfig, dataset, text_len: int) -> BatchLoader:
     )
 
 
-def get_val_loaders(config: TrainConfig, tokenizer, vision_cfg: VisionConfig, text_len: int, synthetic_images: bool = False) -> Dict[str, BatchLoader]:
+def get_val_loaders(config: TrainConfig, tokenizer, vision_cfg: VisionConfig, text_len: int, synthetic_images: bool = False, vision_cache=None) -> Dict[str, BatchLoader]:
     """All-task validation loaders, built once (dataloaders.py:61-83)."""
     return {
         task: make_val_loader(
             config,
-            prepare_val_dataset(config, task, tokenizer, vision_cfg, synthetic_images),
+            prepare_val_dataset(config, task, tokenizer, vision_cfg, synthetic_images, vision_cache=vision_cache),
             text_len,
         )
         for task in config.tasks

@@ -1,0 +1,146 @@
+"""Disk-backed cache of frozen vision-tower features.
+
+The EVA-02 encoder is FROZEN in every reference config
+(mafed/model/vqa_cont_learner.py:201-203) and the image transform is
+deterministic (bicubic resize + center crop + CLIP normalize,
+mafed/train.py:95-104) — so an image's patch features NEVER change across
+the entire continual-learning run. The reference still recomputes them for
+every question at every epoch (and twice on distillation batches before its
+teacher/student fusion); with ~3 questions per COCO image and 15 epochs per
+task that is ~45 redundant vision forwards per image per task.
+
+This cache stores `get_patch_embeddings` output (CLS dropped, pre-projector,
+bf16 [n_patches, d_vis]) once per unique image. After a one-time priming
+pass, training steps consume features directly: the vision tower (and host
+JPEG decode) leaves the steady-state step entirely. Gradients are
+bit-identical — the projector, which IS trainable, still applies inside the
+differentiated forward.
+
+Storage: one .npy (uint16-viewed bfloat16) per image under sharded
+subdirectories; writes are atomic (tmp + rename), so concurrent writers
+(multi-process pods priming the same shared dir) race benignly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import ml_dtypes
+
+    _BF16 = ml_dtypes.bfloat16
+except Exception:  # pragma: no cover - ml_dtypes ships with jax
+    _BF16 = np.float32
+
+
+class VisionFeatureCache:
+    def __init__(self, cache_dir: str, n_patches: int, dim: int) -> None:
+        self.cache_dir = cache_dir
+        self.n_patches = n_patches
+        self.dim = dim
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        h = hashlib.sha1(key.encode()).hexdigest()
+        return os.path.join(self.cache_dir, h[:2], f"{h}.npy")
+
+    def has(self, key: str) -> bool:
+        return os.path.exists(self._path(key))
+
+    def load(self, key: str) -> np.ndarray:
+        """-> bf16 [n_patches, dim]."""
+        arr = np.load(self._path(key))
+        return arr.view(_BF16)
+
+    def save(self, key: str, feats: np.ndarray) -> None:
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        arr = np.asarray(feats).astype(_BF16).view(np.uint16)
+        if arr.shape != (self.n_patches, self.dim):
+            raise ValueError(f"feature shape {arr.shape} != ({self.n_patches}, {self.dim})")
+        tmp = f"{path}.{os.getpid()}.tmp.npy"
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, path)
+
+
+def leaf_datasets(dataset) -> List:
+    """Unwrap ConcatDataset/Subset nesting to the VQADataset leaves."""
+    if hasattr(dataset, "datasets"):
+        out: List = []
+        for d in dataset.datasets:
+            out.extend(leaf_datasets(d))
+        return out
+    if hasattr(dataset, "dataset"):
+        return leaf_datasets(dataset.dataset)
+    return [dataset]
+
+
+def prime_vision_cache(
+    cache: VisionFeatureCache,
+    datasets: Iterable,
+    frozen_params: Dict,
+    model_cfg,
+    batch_size: int = 32,
+    dtype=None,
+) -> int:
+    """One-time feature computation for every uncached unique image.
+
+    Deduplicates by image key across datasets and examples (VQA has several
+    questions per image), decodes misses on a thread pool, and runs ONE
+    jitted vision forward per batch of unique images. Returns the number of
+    images computed. Safe to re-run (no-ops on a warm cache) and safe under
+    multi-process (atomic writes; every process primes the shared dir —
+    redundant but convergent).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mafed_tpu.data.images import make_normalizer
+    from mafed_tpu.models.vl_pythia import get_patch_embeddings
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    # gather unique uncached keys -> a loader closure per key
+    jobs: Dict[str, Tuple] = {}
+    for ds in datasets:
+        for leaf in leaf_datasets(ds):
+            if not hasattr(leaf, "image_key"):
+                continue
+            for i in range(len(leaf)):
+                key = leaf.image_key(i)
+                if key not in jobs and not cache.has(key):
+                    jobs[key] = (leaf, i)
+    if not jobs:
+        return 0
+
+    params = {"vision": frozen_params["vision"]}
+    normalize = make_normalizer(model_cfg.vision)
+
+    # params must be an ARGUMENT of the jitted fn: closure-captured device
+    # arrays become baked-in constants (oversized compile payloads on
+    # remote-compile TPU tunnels)
+    @jax.jit
+    def feats_fn(p, pixels_u8):
+        return get_patch_embeddings(p, model_cfg, normalize(pixels_u8, dtype=dtype), dtype=dtype, attn_impl="xla")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(jobs.items())
+    n_done = 0
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for start in range(0, len(items), batch_size):
+            chunk = items[start : start + batch_size]
+            pixels = list(pool.map(lambda kv: kv[1][0].load_pixels(kv[1][1]), chunk))
+            px = np.stack(pixels)
+            if len(chunk) < batch_size:  # pad to the compiled batch
+                px = np.concatenate([px, np.repeat(px[-1:], batch_size - len(chunk), axis=0)])
+            feats = np.asarray(feats_fn(params, px))
+            for j, (key, _) in enumerate(chunk):
+                cache.save(key, feats[j])
+            n_done += len(chunk)
+    return n_done

@@ -50,6 +50,7 @@ class VQADataset:
         split: str,
         max_txt_len: int = 60,
         synthetic_images: bool = False,
+        vision_cache=None,
     ) -> None:
         self.tokenizer = tokenizer
         self.vision_cfg = vision_cfg
@@ -57,10 +58,29 @@ class VQADataset:
         self.split = split
         self.max_txt_len = max_txt_len
         self.synthetic_images = synthetic_images
+        # data/vision_cache.py: frozen-tower features keyed by image; when a
+        # key is cached the item ships "patches" instead of "pixels" and the
+        # training/eval step skips the vision tower entirely
+        self.vision_cache = vision_cache
         self.store = AnnotationStore(data_path=data_path, split=split, split_file=split_file, task=task)
 
     def __len__(self) -> int:
         return len(self.store)
+
+    def image_key(self, index: int) -> str:
+        """Stable identity of an example's image (vision-cache key).
+
+        Synthetic images are generated from the example index, so the key is
+        the index; real images key on the db filename (several questions
+        share one image — the cache dedupes them)."""
+        if self.synthetic_images:
+            return f"synthetic:{index}"
+        return f"img:{self.store[index]['img_fname']}"
+
+    def load_pixels(self, index: int) -> np.ndarray:
+        """Raw preprocessed uint8 pixels, bypassing the vision cache (used by
+        the cache priming pass)."""
+        return self._load_pixels(self.store[index]["img_fname"], index)
 
     def _load_pixels(self, img_fname: str, index: int) -> np.ndarray:
         if self.synthetic_images:
@@ -74,18 +94,26 @@ class VQADataset:
 
     def __getitem__(self, index: int) -> Dict:
         ex = self.store[index]
-        pixels = self._load_pixels(ex["img_fname"], index)
+        if self.vision_cache is not None and self.vision_cache.has(self.image_key(index)):
+            pixels = None
+            patches = self.vision_cache.load(self.image_key(index))
+        else:
+            pixels = self._load_pixels(ex["img_fname"], index)
+            patches = None
         question = format_text(ex["question"])
         answers = [normalize_answer(a["answer"]) for a in ex.get("answers", [])]
         answer = format_text(normalize_answer(ex.get("multiple_choice_answer", "")), capitalize=False)
 
         q_ids = list(self.tokenizer(question).input_ids)[: self.max_txt_len]
         item: Dict = {
-            "pixels": pixels,
             "answers": answers,
             "question_id": ex.get("question_id"),
             "raw": {"question": question, "answer": answer},
         }
+        if patches is not None:
+            item["patches"] = patches
+        else:
+            item["pixels"] = pixels
         if self.split == "train":
             a_ids = list(self.tokenizer(answer).input_ids)
             a_ids.append(self.tokenizer.eos_token_id)

@@ -39,10 +39,16 @@ def make_greedy_decoder(
         input_ids = batch["input_ids"]
         attention_mask = batch["attention_mask"]
         b, txt_len = input_ids.shape
-        pixel_values = prep_pixels(batch, model_cfg.vision, dtype)
+        patches = batch.get("patches")  # vision-cache steady state
+        if patches is not None:
+            patches = patches.astype(dtype)
+            pixel_values = None
+        else:
+            pixel_values = prep_pixels(batch, model_cfg.vision, dtype)
 
         inputs_embeds, full_mask = vl_pythia.build_inputs(
             params, model_cfg, input_ids, pixel_values, attention_mask,
+            patch_embeddings=patches,
             dtype=dtype, attn_impl=attn_impl,
             # inference-only vision pass: XLA fused attention is fastest here
             vision_attn_impl="xla" if attn_impl == "auto" else attn_impl,

@@ -18,12 +18,17 @@ from mafed_tpu.core.logging import LOGGER
 from mafed_tpu.evaluation.vqa_metrics import VQAGenerativeAccuracy, normalize_answer, vqa_v2_score
 
 
+_DECODE_KEYS = ("input_ids", "attention_mask", "pixels", "patches")
+
+
 def _pad_batch(batch: Dict, batch_size: int) -> Tuple[Dict, int]:
     n = batch["input_ids"].shape[0]
     if n == batch_size:
         return batch, n
     out = dict(batch)
-    for k in ("input_ids", "attention_mask", "pixels"):
+    for k in _DECODE_KEYS:
+        if k not in batch:
+            continue
         v = batch[k]
         reps = np.concatenate([v, np.repeat(v[-1:], batch_size - n, axis=0)], axis=0)
         out[k] = reps
@@ -96,7 +101,7 @@ def validate_vqa(
         if max_batches is not None and i >= max_batches:
             break
         padded, n_valid = _pad_batch(batch, batch_size)
-        dec_batch = {k: padded[k] for k in ("input_ids", "attention_mask", "pixels")}
+        dec_batch = {k: padded[k] for k in _DECODE_KEYS if k in padded}
         if sharding is not None:
             dec_batch = {k: jax.device_put(v, sharding) for k, v in dec_batch.items()}
         toks_dev = decoder(params, dec_batch)

@@ -104,6 +104,18 @@ class ContinualLearningTrainer:
         self.runner = TaskRunner(
             self.model_cfg, config, self.tokenizer, mesh=mesh, metrics=self.metrics
         )
+        # frozen-vision feature cache (data/vision_cache.py): primed once per
+        # unique image; steady-state steps skip the EVA-02 tower entirely
+        self.vision_cache = None
+        if config.vision_cache:
+            from mafed_tpu.data.vision_cache import VisionFeatureCache
+
+            vis = self.model_cfg.vision
+            n_tokens = vis.num_patches + (0 if self.model_cfg.select_feature == "patch" else 1)
+            self.vision_cache = VisionFeatureCache(
+                config.vision_cache_dir or os.path.join(config.output_dir, "vision_cache"),
+                n_tokens, vis.embed_dim,
+            )
 
     # ------------------------------------------------------------------
     def _initialize_tasks(self) -> None:
@@ -168,24 +180,39 @@ class ContinualLearningTrainer:
         return accuracy
 
     # ------------------------------------------------------------------
+    def _prime_vision_cache(self, params, datasets) -> None:
+        if self.vision_cache is None:
+            return
+        import time
+
+        from mafed_tpu.data.vision_cache import prime_vision_cache
+
+        _, frozen = split_params(params)
+        t0 = time.time()
+        n = prime_vision_cache(self.vision_cache, datasets, frozen, self.model_cfg)
+        if n:
+            LOGGER.info("vision cache: computed %d image features in %.1fs", n, time.time() - t0)
+
     def main(self) -> Dict[str, Any]:
         cfg = self.config
+        params = self._initial_params()
+
         self.val_loaders = get_val_loaders(
             cfg, self.tokenizer, self.model_cfg.vision, self.runner.val_text_len,
-            synthetic_images=self.synthetic_images,
+            synthetic_images=self.synthetic_images, vision_cache=self.vision_cache,
         )
+        self._prime_vision_cache(params, [l.dataset for l in self.val_loaders.values()])
         strategy = CLMethod[cfg.cl_method](cfg, self.model_cfg)
         n_tasks = len(cfg.tasks)
         accuracy = np.zeros((n_tasks, n_tasks))
-
-        params = self._initial_params()
 
         for task_id, task in enumerate(cfg.tasks):
             LOGGER.info("Task %d: %s", task_id, task)
             train_dataset = prepare_train_dataset(
                 cfg, task, self.tokenizer, self.model_cfg.vision,
-                synthetic_images=self.synthetic_images,
+                synthetic_images=self.synthetic_images, vision_cache=self.vision_cache,
             )
+            self._prime_vision_cache(params, [train_dataset])
             best_path = self._prev_best_path(task_id, task)
 
             if task_id >= cfg.start_task_idx:

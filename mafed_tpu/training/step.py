@@ -73,7 +73,14 @@ def resolve_remat_policy(name: str):
 def _ce_loss(trainable, frozen, cfg: ModelConfig, batch, dtype, attn_impl, remat=False, patches=None, label_tail=None, remat_policy=None):
     """remat=True rematerializes decoder layers during backward (per-layer
     jax.checkpoint inside the layer scan — NOT a whole-forward checkpoint,
-    which would pointlessly recompute the frozen vision tower too)."""
+    which would pointlessly recompute the frozen vision tower too).
+
+    Batches carrying cached "patches" (data/vision_cache.py) skip the frozen
+    vision tower entirely — the projector still differentiates."""
+    if patches is None:
+        patches = batch.get("patches")
+        if patches is not None:
+            patches = patches.astype(dtype)
     params = merge_params(trainable, frozen)
     pixel_values = _prep_pixels(batch, cfg, dtype) if patches is None else None
     # frozen vision tower -> XLA fused attention (faster fwd, no
@@ -342,6 +349,10 @@ def make_distill_loss_fn(
         lang_mask, image_mask = modality_masks(batch["attention_mask"], n_vis)
         params = merge_params(trainable, frozen)
         if patches is None:
+            patches = batch.get("patches")
+            if patches is not None:
+                patches = patches.astype(dtype)  # vision-cache steady state
+        if patches is None:
             pixel_values = _prep_pixels(batch, model_cfg, dtype)
             # vision runs ONCE; both passes share the frozen features.
             # frozen/undifferentiated -> XLA fused attention
@@ -504,7 +515,14 @@ def make_mafed_window_step(
 
     def step(state: TrainState, teacher_trainable, ce_batches, distill_batch, lang_coeffs):
         ce_patches = distill_patches = None
-        if share_vision:
+        if "patches" in ce_batches:
+            # vision-cache steady state: features arrive with the batch;
+            # no vision tower in the step at all
+            ce_patches = ce_batches["patches"].reshape(
+                (-1,) + ce_batches["patches"].shape[2:]
+            ).astype(dtype)
+            distill_patches = distill_batch["patches"].astype(dtype)
+        elif share_vision:
             merged_px = ce_batches["pixels"].reshape((-1,) + ce_batches["pixels"].shape[2:])
             all_px = _prep_pixels(
                 {"pixels": jnp.concatenate([merged_px, distill_batch["pixels"]], axis=0)},
@@ -621,7 +639,12 @@ def make_adaptive_weights_fn(
 
     def fn(trainable, frozen, batch):
         params = merge_params(trainable, frozen)
-        pixel_values = _prep_pixels(batch, model_cfg, dtype)
+        patches = batch.get("patches")
+        if patches is not None:
+            patches = patches.astype(dtype)
+            pixel_values = None
+        else:
+            pixel_values = _prep_pixels(batch, model_cfg, dtype)
         b, t = batch["input_ids"].shape
         full_t = n_vis + t
         # bf16 perturbation halves the [L, B, T, H] primal+cotangent buffers;
@@ -632,6 +655,7 @@ def make_adaptive_weights_fn(
             out = vl_pythia.forward(
                 params, model_cfg, batch["input_ids"], pixel_values,
                 batch["attention_mask"], batch["labels"],
+                patch_embeddings=patches,
                 hidden_perturbation=pert, dtype=dtype, attn_impl=attn_impl,
                 vision_attn_impl="xla", loss_only=True,
             )

@@ -1,64 +1,128 @@
-"""Micro-bench: pallas flash attention fwd+bwd block-size variants at the
-canonical decoder shape (b16, 16 heads, 336 tokens, d64, causal, key-padding
-mask), plus the non-causal vision shape (b16, 16 heads, 256, d64, no mask).
+"""Micro-benchmark of attention implementations at the fused-window hot shape.
 
-State threading: fresh random q each iter via a carried key to defeat the
-remote tunnel's identical-buffer dedupe.
+The r3 profile shows the XLA attention path (bhqd,bhkd einsums + softmax)
+HBM-bound at ~222 ms/step (27%) of the MAFED window: the [T,T] score/prob
+tensors round-trip HBM in forward, remat-recompute, and backward. This
+compares, at the exact decoder shapes ([B,H,T,D], causal, left-pad key
+mask), fwd and fwd+bwd wall time of:
+
+  xla          in-repo XLA reference (the current window default)
+  pallas       in-repo Pallas flash kernel (custom VJP)
+  upstream     jax.experimental.pallas.ops.tpu.flash_attention (seq padded
+               to a block multiple; r2 found reading its OUTPUT back hangs
+               the tunnel — here outputs are consumed on-device and only a
+               scalar crosses, which is how real steps use attention)
+
+Timing threads state through the loop (the tunnel dedupes identical
+dispatches) and ends with a scalar host transfer.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_attention.py [B] [T]
 """
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
+
+import numpy as np
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from mafed_tpu.kernels import attention as A
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 336
+    H, D = 16, 64
+    PAD_T = ((T + 127) // 128) * 128
 
-    variants = [(128, 128), (384, 384), (128, 384), (384, 128), (256, 256)]
-    if len(sys.argv) > 1:
-        variants = [tuple(map(int, v.split("x"))) for v in sys.argv[1:]]
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.bfloat16)
+    # left padding on the text suffix region like VQA batches: first 20
+    # positions of the text (after the 256-token vision prefix) masked out
+    mask_np = np.ones((B, T), np.int32)
+    mask_np[:, 256 : 256 + 20] = 0
+    mask = jnp.asarray(mask_np)
 
-    def bench(name, b, h, t, d, causal, masked, bq, bk):
-        key = jax.random.PRNGKey(0)
-        q = jax.random.normal(key, (b, h, t, d), jnp.bfloat16)
-        k = jax.random.normal(jax.random.PRNGKey(1), (b, h, t, d), jnp.bfloat16)
-        v = jax.random.normal(jax.random.PRNGKey(2), (b, h, t, d), jnp.bfloat16)
-        mask = jnp.ones((b, t), jnp.int32)
-        if masked:
-            mask = mask.at[:, : t // 4].set(0)
+    from mafed_tpu.kernels.attention import dot_product_attention
 
-        @jax.jit
-        def fwd_bwd(q, k, v):
-            def loss(q, k, v):
-                o = A.dot_product_attention(
-                    q, k, v,
-                    key_padding_mask=mask if masked else None,
-                    causal=causal, impl="pallas", block_q=bq, block_k=bk,
-                )
-                return jnp.sum(o.astype(jnp.float32) ** 2)
+    def run_xla(q, k, v):
+        return dot_product_attention(q, k, v, key_padding_mask=mask, causal=True, impl="xla")
 
-            l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
-            # thread state: next q depends on grads (defeats dedupe)
-            return l, q + 1e-6 * grads[0]
+    def run_pallas(q, k, v):
+        return dot_product_attention(q, k, v, key_padding_mask=mask, causal=True, impl="pallas")
 
-        l, q = fwd_bwd(q, k, v)
-        jax.block_until_ready(l)
-        iters = 50
-        start = time.perf_counter()
-        for _ in range(iters):
-            l, q = fwd_bwd(q, k, v)
-        jax.block_until_ready(l)
-        dt = (time.perf_counter() - start) / iters
-        print(f"{name} bq{bq} bk{bk}: {dt*1e6:.0f} us/iter", flush=True)
+    fns = {"xla": run_xla, "pallas": run_pallas}
 
-    for bq, bk in variants:
-        bench("decoder b16h16t336d64 causal+mask", 16, 16, 336, 64, True, True, bq, bk)
-    for bq, bk in variants:
-        bench("vision  b16h16t256d64 plain      ", 16, 16, 256, 64, False, False, bq, bk)
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            SegmentIds,
+            flash_attention,
+        )
+
+        pad = PAD_T - T
+        seg_q_np = np.pad(mask_np, ((0, 0), (0, pad)), constant_values=0)
+        # padding/masked tokens get segment 2 (!= 1): they attend nothing real
+        seg = jnp.asarray(np.where(seg_q_np > 0, 1, 2).astype(np.int32))
+        bs = BlockSizes(
+            block_q=min(128, PAD_T), block_k_major=min(128, PAD_T), block_k=min(128, PAD_T),
+            block_b=1,
+            block_q_major_dkv=min(128, PAD_T), block_k_major_dkv=min(128, PAD_T),
+            block_k_dkv=min(128, PAD_T), block_q_dkv=min(128, PAD_T),
+            block_k_major_dq=min(128, PAD_T), block_k_dq=min(128, PAD_T),
+            block_q_dq=min(128, PAD_T),
+        )
+
+        def run_upstream(q, k, v):
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            o = flash_attention(
+                qp, kp, vp,
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                causal=True, sm_scale=1.0 / float(np.sqrt(D)), block_sizes=bs,
+            )
+            return o[:, :, :T, :]
+
+        fns["upstream"] = run_upstream
+    except Exception as exc:  # pragma: no cover
+        print(f"upstream kernel unavailable: {type(exc).__name__}: {exc}")
+
+    iters = 8
+
+    for name, fn in fns.items():
+        for mode in ("fwd", "grad"):
+            if mode == "fwd":
+                def step(q):
+                    return jnp.sum(fn(q, k, v).astype(jnp.float32))
+            else:
+                def step(q):
+                    return jax.grad(
+                        lambda qq: jnp.sum(fn(qq, k, v).astype(jnp.float32) ** 2)
+                    )(q).astype(jnp.float32).sum()
+
+            jstep = jax.jit(step)
+            try:
+                t0 = time.perf_counter()
+                out = jstep(q)
+                float(out)
+                compile_s = time.perf_counter() - t0
+                # thread state: q shifts by a tiny multiple of the result
+                qq = q
+                t0 = time.perf_counter()
+                acc = 0.0
+                for _ in range(iters):
+                    r = jstep(qq)
+                    qq = qq + (r * 1e-12).astype(qq.dtype)
+                acc = float(r)
+                dt = (time.perf_counter() - t0) / iters
+                print(f"{name:9s} {mode:4s}: {dt*1e3:8.2f} ms/iter  (compile {compile_s:.1f}s, chk {acc:.1f})", flush=True)
+            except Exception as exc:
+                print(f"{name:9s} {mode:4s}: FAILED {type(exc).__name__}: {str(exc)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,97 @@
+"""Vision feature cache (data/vision_cache.py): the frozen EVA-02 tower's
+features are deterministic per image, so caching them once and feeding
+"patches" batches must be numerically equivalent to in-step vision — and
+the steady-state step must contain no vision tower at all.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from helpers import tiny_model_cfg, write_synthetic_vqa
+
+from mafed_tpu.data.vision_cache import VisionFeatureCache, leaf_datasets, prime_vision_cache
+
+
+def test_cache_roundtrip_bf16_exact(tmp_path):
+    cache = VisionFeatureCache(str(tmp_path), n_patches=4, dim=8)
+    feats = np.asarray(jnp.asarray(np.random.default_rng(0).standard_normal((4, 8)), jnp.bfloat16))
+    assert not cache.has("img:a")
+    cache.save("img:a", feats)
+    assert cache.has("img:a")
+    out = cache.load("img:a")
+    np.testing.assert_array_equal(np.asarray(out, np.float32), np.asarray(feats, np.float32))
+
+
+def test_collate_rejects_mixed_vision_batches():
+    from mafed_tpu.data.collate import collate_train
+
+    a = {"input_ids": np.ones(3, np.int32), "labels": np.asarray([-100, 1, 2], np.int32),
+         "pixels": np.zeros((4, 4, 3), np.uint8)}
+    b = dict(a)
+    b = {**a, "patches": np.zeros((4, 8), np.float32)}
+    del b["pixels"]
+    with pytest.raises(ValueError, match="mixes cached"):
+        collate_train([a, b], text_len=8)
+
+
+def _tiny_trainer(tmp_path, use_cache: bool, tag: str):
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    cfg = write_synthetic_vqa(str(tmp_path / tag))
+    cfg.vision_cache = use_cache
+    cfg.cl_method = "naive"
+    cfg.epochs = [1, 1]
+    return ContinualLearningTrainer(cfg, model_cfg=tiny_model_cfg(), synthetic_images=True)
+
+
+@pytest.mark.slow
+def test_e2e_cached_matches_uncached_and_skips_vision(tmp_path):
+    r_cached = _tiny_trainer(tmp_path, True, "cached").main()
+    r_plain = _tiny_trainer(tmp_path, False, "plain").main()
+    a, b = np.asarray(r_cached["accuracy_matrix"]), np.asarray(r_plain["accuracy_matrix"])
+    # same features modulo bf16 fusion-order differences -> same greedy
+    # decodes on the tiny model
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    # warm-cache rerun is exactly reproducible
+    r_again = _tiny_trainer(tmp_path, True, "cached2").main()
+    # (cache dir differs per run; priming recomputes deterministically)
+    np.testing.assert_allclose(np.asarray(r_again["accuracy_matrix"]), a, atol=1e-9)
+
+
+def test_prime_and_dataset_emit_patches(tmp_path):
+    from mafed_tpu.data.factory import prepare_train_dataset
+    from mafed_tpu.data.tokenizer import ByteTokenizer
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.training.train_state import split_params
+
+    model_cfg = tiny_model_cfg()
+    cfg = write_synthetic_vqa(str(tmp_path))
+    vis = model_cfg.vision
+    cache = VisionFeatureCache(str(tmp_path / "vc"), vis.num_patches, vis.embed_dim)
+    ds = prepare_train_dataset(cfg, "taskA", ByteTokenizer(), vis, synthetic_images=True, vision_cache=cache)
+    assert "pixels" in ds[0] and "patches" not in ds[0]
+
+    params = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(0))
+    _, frozen = split_params(params)
+    n = prime_vision_cache(cache, [ds], frozen, model_cfg, batch_size=8)
+    assert n == len(ds)  # synthetic: one unique image per example
+    assert prime_vision_cache(cache, [ds], frozen, model_cfg) == 0  # warm no-op
+
+    item = ds[0]
+    assert "patches" in item and "pixels" not in item
+    assert item["patches"].shape == (vis.num_patches, vis.embed_dim)
+    # cached features == in-step features for the same image
+    leaf = leaf_datasets(ds)[0]
+    from mafed_tpu.data.images import make_normalizer
+
+    px = leaf.load_pixels(0)[None]
+    ref = vl_pythia.get_patch_embeddings(
+        {"vision": frozen["vision"]}, model_cfg,
+        make_normalizer(vis)(jnp.asarray(px)), dtype=jnp.bfloat16, attn_impl="xla",
+    )[0]
+    np.testing.assert_array_equal(
+        np.asarray(item["patches"], np.float32), np.asarray(ref, np.float32)
+    )
