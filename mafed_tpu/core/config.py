@@ -247,6 +247,9 @@ class TrainConfig:
     # gradients (the tower is frozen and the transform deterministic).
     vision_cache: bool = True
     vision_cache_dir: Optional[str] = None  # default: {output_dir}/vision_cache
+    # host->device transfer pipelining (data/prefetch.py); 2 measured best
+    # on the tunneled single chip, tune upward on real hosts
+    prefetch_depth: int = 2
     log_every: int = 50
     profile_dir: Optional[str] = None  # capture a jax.profiler trace of steps 10-20
 

@@ -153,6 +153,9 @@ class ContinualLearningTrainer:
 
     # ------------------------------------------------------------------
     def validate_all_tasks(self, params, task_id: int, accuracy: np.ndarray) -> np.ndarray:
+        # device-resident once: host numpy params (the reloaded best
+        # checkpoint) would re-transfer the full model on every decode call
+        params = self.runner.place_params(params)
         for val_task_id, val_task in enumerate(self.config.tasks):
             LOGGER.info(val_task)
             val_log, _ = validate_vqa(
@@ -246,6 +249,11 @@ class ContinualLearningTrainer:
             # strategy transition uses the best (reloaded) model
             if task_id < n_tasks - 1:
                 trainable, frozen = split_params(params)
+                # ON DEVICE, once: strategies retain these (teacher, EWC
+                # anchors) and pass them into every subsequent jitted step —
+                # host numpy here would re-ship the full model per window
+                trainable = self.runner.place_params(trainable)
+                frozen = self.runner.place_params(frozen)
                 from mafed_tpu.training.train_state import TrainState
 
                 eval_state = TrainState(0, trainable, frozen, None)

@@ -145,7 +145,12 @@ class TaskRunner:
         )
 
     def device_batches(self, loader):
-        return DevicePrefetcher(loader, sharding=self._batch_sharding)
+        # depth 2 measured BEST on the tunneled chip: flooding the transport
+        # with a full window of in-flight device_puts (depth 2*window = 8)
+        # regressed integrated throughput 80 -> 58 ex/s — queued transfers
+        # contend with step dispatch. Knob for real-host tuning.
+        depth = max(1, getattr(self.config, "prefetch_depth", 2))
+        return DevicePrefetcher(loader, sharding=self._batch_sharding, depth=depth)
 
     # -- optimizer / state -----------------------------------------------------
     def setup_task_optimizer(
@@ -280,22 +285,33 @@ class TaskRunner:
             )
         return self._adaptive_fn(trainable, frozen, batch)
 
+    def place_params(self, tree):
+        """Put a host param pytree on device ONCE.
+
+        Anything a strategy RETAINS and re-passes into jitted steps (the
+        distillation teacher, EWC fisher/anchors, the post-task eval state)
+        must be device-resident — a retained host numpy pytree silently
+        re-transfers the full model through jit on EVERY call (measured
+        ~5 ex/s MAFED epochs on the tunneled chip before this fix).
+
+        Multi-process SPMD additionally needs GLOBAL arrays: shard_params
+        applies the TP layout where configured and replication elsewhere
+        (every process holds the same host values, so device_put just
+        writes the addressable shards); optimizer moments follow via
+        zeros_like, and host-local scalars auto-replicate at dispatch.
+        """
+        if self.mesh is not None and jax.process_count() > 1:
+            from mafed_tpu.core.mesh import shard_params
+
+            return shard_params(tree, self.mesh)
+        return jax.device_put(tree)
+
     def init_state(self, params: Dict[str, Any]) -> TrainState:
         trainable, frozen = split_params(params)
         if self.tx is None:
             raise RuntimeError("call setup_task_optimizer first")
-        if self.mesh is not None and jax.process_count() > 1:
-            # multi-process SPMD: params must be GLOBAL arrays before any
-            # jit touches them (each process holds the same host values —
-            # from the same checkpoint/seed — so device_put just writes the
-            # addressable shards). shard_params applies the TP layout where
-            # configured and replication elsewhere; optimizer moments follow
-            # via zeros_like, and host-local scalars (schedule counters,
-            # step) auto-replicate at dispatch.
-            from mafed_tpu.core.mesh import shard_params
-
-            trainable = shard_params(trainable, self.mesh)
-            frozen = shard_params(frozen, self.mesh)
+        trainable = self.place_params(trainable)
+        frozen = self.place_params(frozen)
         opt_state = self.tx.init(trainable)
         opt_state = set_schedule(opt_state, *self._sched)
         frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
@@ -461,6 +477,10 @@ class TaskRunner:
                     )
             if profiling:
                 jax.profiler.stop_trace()
+            # steps are dispatched asynchronously; without this sync the
+            # epoch timer measures dispatch rate (validation would silently
+            # absorb the queued work and ex/s would read impossibly high)
+            jax.block_until_ready(state.trainable)
             ex_per_s = n_seen / max(time.time() - epoch_start, 1e-9)
 
             val_log, _ = validate_vqa(

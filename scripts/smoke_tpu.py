@@ -39,7 +39,7 @@ def main() -> None:
         accumulate_grad_batches=4,
         replay_interval=4,
         cl_memory=16,
-        epochs=[epochs0, 1],
+        epochs=[epochs0, int(os.environ.get("SMOKE_EPOCHS1", epochs0))],
         max_txt_len=24,
         val_max_batches=1,
         distillation_modality_weighing_strategy="balanced",

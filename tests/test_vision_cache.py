@@ -61,6 +61,43 @@ def test_e2e_cached_matches_uncached_and_skips_vision(tmp_path):
     np.testing.assert_allclose(np.asarray(r_again["accuracy_matrix"]), a, atol=1e-9)
 
 
+def test_cached_window_step_compiles_without_vision_tower():
+    """Steady state really removes the tower: the compiled CE-window HLO on a
+    patches batch contains no convolution (the EVA-02 patch-embed conv is the
+    only conv in the model)."""
+    from mafed_tpu.core.config import TrainConfig
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.optim.optimizer import build_optimizer
+    from mafed_tpu.optim.sched import linear_warmup_schedule
+    from mafed_tpu.training.step import make_ce_window_step
+    from mafed_tpu.training.train_state import TrainState, split_params
+
+    mc = tiny_model_cfg()
+    cfg = TrainConfig(batch_size=2, accumulate_grad_batches=1, optim="adamw", weight_decay=0.01)
+    params = vl_pythia.init_params(mc, jax.random.PRNGKey(0))
+    tr, fz = split_params(params)
+    tx = build_optimizer(cfg, tr, linear_warmup_schedule(1e-3, 2, 100))
+    state = TrainState(jnp.zeros((), jnp.int32), tr, fz, tx.init(tr))
+    step = make_ce_window_step(mc, cfg, tx, donate=False)
+
+    n_mb, b, t = 2, 2, 16
+    vis = mc.vision
+    batches = {
+        "input_ids": np.ones((n_mb, b, t), np.int32),
+        "attention_mask": np.ones((n_mb, b, t), np.int32),
+        "labels": np.full((n_mb, b, t), -100, np.int32),
+        "patches": np.zeros((n_mb, b, vis.num_patches, vis.embed_dim), np.float32),
+    }
+    batches["labels"][:, :, -4:] = 1
+    lowered = step.lower(state, batches)
+    hlo = lowered.as_text()
+    assert "convolution" not in hlo
+    # and the pixels path DOES contain it
+    pix = {k: v for k, v in batches.items() if k != "patches"}
+    pix["pixels"] = np.zeros((n_mb, b, vis.img_size, vis.img_size, 3), np.uint8)
+    assert "convolution" in step.lower(state, pix).as_text()
+
+
 def test_prime_and_dataset_emit_patches(tmp_path):
     from mafed_tpu.data.factory import prepare_train_dataset
     from mafed_tpu.data.tokenizer import ByteTokenizer
