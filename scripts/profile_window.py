@@ -58,6 +58,24 @@ def capture(out_dir: str) -> None:
         )
         for k in batch
     }
+    # MAFED_PROFILE_VISION=cached profiles the vision-cache steady state
+    # (the trainer default; same transform as bench.py)
+    if os.environ.get("MAFED_PROFILE_VISION") == "cached":
+        from mafed_tpu.data.images import make_normalizer
+
+        normalize = make_normalizer(model_cfg.vision)
+        vis_params = {"vision": frozen["vision"]}
+
+        @jax.jit
+        def feats(p, px):  # params as ARG (closure capture -> HTTP 413)
+            return vl_pythia.get_patch_embeddings(
+                p, model_cfg, normalize(px), dtype=jnp.bfloat16, attn_impl="xla"
+            )
+
+        batch["patches"] = feats(vis_params, batch.pop("pixels"))
+        ce_px = ce_stack.pop("pixels")
+        ce_stack["patches"] = jnp.stack([feats(vis_params, ce_px[i]) for i in range(3)])
+        jax.block_until_ready(ce_stack["patches"])
     lang_coeffs = jnp.full((model_cfg.num_hidden_layers - 1,), 0.5, jnp.float32)
 
     step = make_mafed_window_step(model_cfg, train_cfg, tx, n_ce=3)
