@@ -99,7 +99,7 @@ class FeatureDistillation(CLStrategy):
         self.datasets.append(Subset(dataset, indices.tolist()))
         mem_dataset = ConcatDataset(self.datasets)
         mem_loader = runner.make_train_loader(mem_dataset, infinite=True, seed=1)
-        self._mem_iter = iter(runner.device_batches(mem_loader))
+        self._mem_iter = iter(runner.memory_batches(mem_loader))
         LOGGER.info("featdistill memory: %d samples", len(mem_dataset))
 
         if self.strategy == "adaptive":

@@ -36,7 +36,7 @@ class ER(CLStrategy):
     def _rebuild_memory_loader(self, runner) -> None:
         mem_dataset = ConcatDataset(self.datasets)
         loader = runner.make_train_loader(mem_dataset, infinite=True, seed=1)
-        self._mem_iter = iter(runner.device_batches(loader))
+        self._mem_iter = iter(runner.memory_batches(loader))
         LOGGER.info("replay memory: %d samples over %d tasks", len(mem_dataset), len(self.datasets))
 
     def next_memory_batch(self):

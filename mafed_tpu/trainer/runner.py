@@ -152,6 +152,26 @@ class TaskRunner:
         depth = max(1, getattr(self.config, "prefetch_depth", 2))
         return DevicePrefetcher(loader, sharding=self._batch_sharding, depth=depth)
 
+    @property
+    def host_window(self) -> bool:
+        """Single-controller fused windows keep microbatches on HOST and ship
+        each window as ONE transfer inside stack_window (np.stack + a single
+        async device_put that overlaps the previous window's step) — instead
+        of per-microbatch device_puts plus device-side stacking. Multi-process
+        pods keep device batches: the memory/distill shards differ per
+        process, and the per-device assembly path is the tested SPMD form."""
+        return self.window > 1 and jax.process_count() == 1
+
+    def fit_batches(self, loader):
+        """The fit loop's batch stream: host batches under host_window (the
+        window stacker does the one transfer), device-prefetched otherwise."""
+        return iter(loader) if self.host_window else self.device_batches(loader)
+
+    def memory_batches(self, loader):
+        """Memory/replay stream for strategies: matches fit_batches' layout so
+        window composition never mixes host and device leaves."""
+        return iter(loader) if self.host_window else self.device_batches(loader)
+
     # -- optimizer / state -----------------------------------------------------
     def setup_task_optimizer(
         self, dataset_size: int, trainable_template: Dict[str, Any], strategy=None
@@ -231,10 +251,22 @@ class TaskRunner:
         addressable — the previous global-stack + device_put form required
         every shard to be addressable and restricted fused windows to
         single-controller runs."""
-        if self._window_sharding is None:
-            return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
         n_mb = len(batches)
         wsh = self._window_sharding
+        if all(isinstance(x, np.ndarray) for x in jax.tree.leaves(batches[0])):
+            # host batches (host_window): ONE stack + ONE async transfer per
+            # window. Multi-process host batches are this process's shards;
+            # make_array_from_process_local_data assembles the global layout.
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+            if wsh is None:
+                return jax.tree.map(jax.device_put, stacked)
+            if jax.process_count() > 1:
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(wsh, x), stacked
+                )
+            return jax.device_put(stacked, wsh)
+        if wsh is None:
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
         def assemble(*xs):
             per_dev: Dict[Any, list] = {}
@@ -437,7 +469,7 @@ class TaskRunner:
             loader.set_epoch(epoch)
             profiling = False
             last_logged = global_step
-            for batch_idx, batch in enumerate(self.device_batches(loader)):
+            for batch_idx, batch in enumerate(self.fit_batches(loader)):
                 if self.config.profile_dir and task_id == 0 and epoch == 0 and batch_idx == 10:
                     jax.profiler.start_trace(self.config.profile_dir)
                     profiling = True
