@@ -24,6 +24,31 @@ VENDORED_TOKENIZER_DIR = os.path.join(
 )
 
 
+def _vendored_matches(tokenizer_name: str) -> bool:
+    """Whether the vendored assets may stand in for `tokenizer_name`.
+
+    The vendor script records its source hub id in vendored_from.json; the
+    assets shadow ONLY that id (all Pythia scales share one tokenizer, so a
+    pythia-* request matches a pythia-* vendor). Silently substituting a
+    different vocabulary would corrupt every downstream number — the exact
+    failure the hard-fail below exists to prevent.
+    """
+    if not os.path.exists(os.path.join(VENDORED_TOKENIZER_DIR, "tokenizer.json")):
+        return False
+    marker = os.path.join(VENDORED_TOKENIZER_DIR, "vendored_from.json")
+    try:
+        import json
+
+        with open(marker) as f:
+            source = json.load(f).get("source", "")
+    except Exception:
+        # hand-copied assets without a marker: accept only the Pythia family
+        source = "EleutherAI/pythia"
+    if source == tokenizer_name:
+        return True
+    return "pythia" in source.lower() and "pythia" in tokenizer_name.lower()
+
+
 @dataclass
 class Encoding:
     input_ids: List[int]
@@ -97,7 +122,7 @@ def build_tokenizer(
         if os.path.isdir(tokenizer_name):
             candidates.append((tokenizer_name, True))
         else:
-            if os.path.exists(os.path.join(VENDORED_TOKENIZER_DIR, "tokenizer.json")):
+            if _vendored_matches(tokenizer_name):
                 candidates.append((VENDORED_TOKENIZER_DIR, True))
             candidates.append((tokenizer_name, True))  # local HF cache only
             if os.environ.get("MAFED_TOKENIZER_FROM_HUB") == "1":

@@ -52,14 +52,17 @@ class VisionFeatureCache:
         return os.path.exists(self._path(key))
 
     def load(self, key: str) -> np.ndarray:
-        """-> bf16 [n_patches, dim]."""
+        """-> bf16 [n_patches, dim] (f32 under the ml_dtypes-less fallback)."""
         arr = np.load(self._path(key))
-        return arr.view(_BF16)
+        return arr.view(_BF16) if arr.dtype == np.uint16 else arr
 
     def save(self, key: str, feats: np.ndarray) -> None:
         path = self._path(key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        arr = np.asarray(feats).astype(_BF16).view(np.uint16)
+        if _BF16 is np.float32:  # ml_dtypes unavailable: store f32 natively
+            arr = np.asarray(feats, np.float32)
+        else:
+            arr = np.asarray(feats).astype(_BF16).view(np.uint16)
         if arr.shape != (self.n_patches, self.dim):
             raise ValueError(f"feature shape {arr.shape} != ({self.n_patches}, {self.dim})")
         tmp = f"{path}.{os.getpid()}.tmp.npy"
@@ -118,7 +121,10 @@ def prime_vision_cache(
     if not jobs:
         return 0
 
-    params = {"vision": frozen_params["vision"]}
+    # ON DEVICE once: frozen_params usually arrive as host numpy (a loaded
+    # checkpoint); jit re-uploads numpy ARGUMENTS on every dispatch, which
+    # would re-ship the ~600MB tower once per chunk below
+    params = jax.device_put({"vision": frozen_params["vision"]})
     normalize = make_normalizer(model_cfg.vision)
 
     # params must be an ARGUMENT of the jitted fn: closure-captured device

@@ -64,9 +64,18 @@ def validate_vqa(
             try:
                 return jax.device_put(x, param_sharding)
             except (ValueError, RuntimeError):
-                # cross-sharding transfer refused: go through the host —
-                # valid because DP params are fully replicated (addressable)
-                return jax.device_put(np.asarray(x), param_sharding)
+                pass
+            # cross-sharding transfer refused: go through the host — valid
+            # only for fully-replicated (DP) params; TP-sharded params are
+            # not addressable from one process, so fail with the actual
+            # constraint instead of a mid-fit np.asarray crash
+            if hasattr(x, "is_fully_replicated") and not x.is_fully_replicated:
+                raise NotImplementedError(
+                    "multi-process eval needs DP-replicated params; "
+                    "tensor-parallel sharded params cannot be localized "
+                    "per-process (run eval with model axis 1)"
+                )
+            return jax.device_put(np.asarray(x), param_sharding)
 
         params = jax.tree.map(_localize, params)
 

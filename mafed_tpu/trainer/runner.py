@@ -168,9 +168,10 @@ class TaskRunner:
         return iter(loader) if self.host_window else self.device_batches(loader)
 
     def memory_batches(self, loader):
-        """Memory/replay stream for strategies: matches fit_batches' layout so
-        window composition never mixes host and device leaves."""
-        return iter(loader) if self.host_window else self.device_batches(loader)
+        """Memory/replay stream for strategies: the SAME layout policy as
+        fit_batches so window composition never mixes host and device
+        leaves."""
+        return self.fit_batches(loader)
 
     # -- optimizer / state -----------------------------------------------------
     def setup_task_optimizer(
@@ -389,15 +390,19 @@ class TaskRunner:
         # is config.resume_bundle_every.
         if self._ckptr is None:
             self._ckptr = ocp.StandardCheckpointer()
-        if os.path.exists(opt_path):
-            if main:
+        if jax.process_count() > 1:
+            # UNCONDITIONAL barrier: the rmtree decision must not depend on
+            # each process's own exists() check — arrival skew means they can
+            # disagree (rank 0 clears the dir while a late rank sees it
+            # already gone, skips a conditional barrier, and mismatches the
+            # collective save). Rank 0 clears; everyone syncs; then all save.
+            if main and os.path.exists(opt_path):
                 shutil.rmtree(opt_path)
-            if jax.process_count() > 1:
-                # every process must observe the cleared dir before the
-                # collective save repopulates it
-                from jax.experimental import multihost_utils
+            from jax.experimental import multihost_utils
 
-                multihost_utils.sync_global_devices("resume_bundle_rmtree")
+            multihost_utils.sync_global_devices("resume_bundle_rmtree")
+        elif os.path.exists(opt_path):
+            shutil.rmtree(opt_path)
         self._ckptr.save(opt_path, state.opt_state)
         self._ckptr.wait_until_finished()
         if main:

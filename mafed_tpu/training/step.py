@@ -517,10 +517,13 @@ def make_mafed_window_step(
         ce_patches = distill_patches = None
         if "patches" in ce_batches:
             # vision-cache steady state: features arrive with the batch;
-            # no vision tower in the step at all
-            ce_patches = ce_batches["patches"].reshape(
-                (-1,) + ce_batches["patches"].shape[2:]
-            ).astype(dtype)
+            # no vision tower in the step at all. Merged ce_patches only fit
+            # the fused [n_ce*b] CE pass — the lax.scan fallback consumes
+            # each microbatch's own mb["patches"] inside _ce_loss instead.
+            if fuse_ce_batch:
+                ce_patches = ce_batches["patches"].reshape(
+                    (-1,) + ce_batches["patches"].shape[2:]
+                ).astype(dtype)
             distill_patches = distill_batch["patches"].astype(dtype)
         elif share_vision:
             merged_px = ce_batches["pixels"].reshape((-1,) + ce_batches["pixels"].shape[2:])

@@ -21,7 +21,6 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_attention.py 
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 

@@ -24,6 +24,13 @@ def main() -> None:
 
     tok = AutoTokenizer.from_pretrained(hub_id)
     tok.save_pretrained(VENDORED_TOKENIZER_DIR)
+    import json
+    import os
+
+    # record the source: the vendored assets shadow ONLY this id (plus the
+    # Pythia family, which shares one tokenizer across scales)
+    with open(os.path.join(VENDORED_TOKENIZER_DIR, "vendored_from.json"), "w") as f:
+        json.dump({"source": hub_id}, f)
     print(f"saved {hub_id} tokenizer assets to {VENDORED_TOKENIZER_DIR}")
     # verify the vendored copy loads offline
     reloaded = AutoTokenizer.from_pretrained(VENDORED_TOKENIZER_DIR, local_files_only=True)
