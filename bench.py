@@ -9,13 +9,20 @@ optimizer update. This is exactly what trainer/runner.py executes per window
 with config.fused_window (the default). VL-Pythia-410M + EVA-02-L/14,
 256 vision + 80 text tokens, bf16.
 
+Since r3 the default measures the VISION-CACHE STEADY STATE (the trainer
+default, data/vision_cache.py): frozen EVA-02 features are precomputed once
+per unique image at task priming, so the per-window step contains no vision
+tower. MAFED_BENCH_VISION=uncached restores the r1/r2 in-step-vision
+workload for cross-round comparison (79.4 ex/s/chip at r3).
+
 vs_baseline: ratio to an estimated A100 throughput of the reference's eager
 per-microbatch loop for the same window, derived from analytic FLOPs
 (training/flops.py reference_window_flops: the reference pays per-microbatch
-vision passes, TWO vision passes on distill batches, full-sequence lm_head,
-teacher logits) at 35% MFU of A100 bf16 peak (312 TFLOP/s). The reference
-repo publishes no numbers (BASELINE.md); BASELINE.json's >=5x target applies
-to a v5e-8 slice (8 chips x this per-chip number under DP).
+vision passes — it has no feature cache — TWO vision passes on distill
+batches, full-sequence lm_head, teacher logits) at 35% MFU of A100 bf16 peak
+(312 TFLOP/s). The reference repo publishes no numbers (BASELINE.md);
+BASELINE.json's >=5x target applies to a v5e-8 slice (8 chips x this
+per-chip number under DP).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
