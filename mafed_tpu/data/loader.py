@@ -53,9 +53,15 @@ class BatchLoader:
         self.shard_id = shard_id
         self.num_shards = max(1, num_shards)
         self._epoch = 0
+        self._start_batch = 0
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """start_batch: skip the first N batches of THIS epoch's seeded order
+        (preemption resume, trainer/runner.py fit); later epochs of an
+        infinite iteration start from 0. Skipping happens at the index level
+        — no decode/collate work is paid for skipped batches."""
         self._epoch = epoch
+        self._start_batch = start_batch
 
     def _index_batches(self, epoch: int) -> List[np.ndarray]:
         n = len(self.dataset)
@@ -91,15 +97,17 @@ class BatchLoader:
 
         def produce():
             epoch = self._epoch
+            skip = self._start_batch
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     while not stop.is_set():
-                        for idx in self._index_batches(epoch):
+                        for idx in self._index_batches(epoch)[skip:]:
                             if stop.is_set():
                                 return
                             items = list(pool.map(self.dataset.__getitem__, idx))
                             out_q.put(self.collate(items))
                         epoch += 1
+                        skip = 0
                         if not self.infinite:
                             break
             except BaseException as exc:  # propagate to the consumer: a

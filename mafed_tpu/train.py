@@ -17,8 +17,13 @@ from mafed_tpu.trainer.continual import ContinualLearningTrainer
 
 def main(argv=None):
     from mafed_tpu.core.cache import enable_compilation_cache
+    from mafed_tpu.core.preempt import install_handlers
 
     enable_compilation_cache()
+    # SIGTERM (pod preemption / maintenance notice) -> save a mid-epoch
+    # resume bundle at the next update boundary and exit 143; restart with
+    # --resume_from_checkpoint <output_dir>/resume to continue exactly
+    install_handlers()
     parser = build_arg_parser()
     config = parse_with_config(parser, argv)
     trainer = ContinualLearningTrainer(config)

@@ -22,6 +22,7 @@ import numpy as np
 import optax
 
 from mafed_tpu.constants import PATIENCE_THRESHOLD
+from mafed_tpu.core import preempt
 from mafed_tpu.core.config import ModelConfig, TrainConfig
 from mafed_tpu.core.logging import LOGGER, MetricsLogger
 from mafed_tpu.core.mesh import batch_sharding
@@ -453,15 +454,26 @@ class TaskRunner:
         history = []
         start_epoch = 0
 
+        start_batch = 0
         if resume and resume_dir and os.path.exists(os.path.join(resume_dir, "fit_state.json")):
             state, meta, best_trainable = self._load_resume_bundle(resume_dir, state)
             if meta.get("task_id") == task_id:
-                start_epoch = meta["epoch"] + 1
+                if meta.get("batches_done", 0) > 0:
+                    # preemption bundle: resume INSIDE the epoch, skipping the
+                    # batches already consumed into applied updates (the
+                    # loader replays the same seeded order for this epoch)
+                    start_epoch = meta["epoch"]
+                    start_batch = int(meta["batches_done"])
+                else:
+                    start_epoch = meta["epoch"] + 1
                 best_acc = meta["best_acc"]
                 wait = meta["wait"]
                 global_step = meta["global_step"]
                 history = meta.get("history", [])
-                LOGGER.info("resuming task %d at epoch %d", task_id, start_epoch)
+                LOGGER.info(
+                    "resuming task %d at epoch %d batch %d",
+                    task_id, start_epoch, start_batch,
+                )
 
         # fused-window accumulation carries across epoch boundaries, exactly
         # like the optax.MultiSteps fallback (and PL gradient accumulation):
@@ -471,10 +483,11 @@ class TaskRunner:
         for epoch in range(start_epoch, epochs):
             epoch_start = time.time()
             n_seen = 0
-            loader.set_epoch(epoch)
+            skip = start_batch if epoch == start_epoch else 0
+            loader.set_epoch(epoch, start_batch=skip)
             profiling = False
             last_logged = global_step
-            for batch_idx, batch in enumerate(self.fit_batches(loader)):
+            for batch_idx, batch in enumerate(self.fit_batches(loader), start=skip):
                 if self.config.profile_dir and task_id == 0 and epoch == 0 and batch_idx == 10:
                     jax.profiler.start_trace(self.config.profile_dir)
                     profiling = True
@@ -495,6 +508,28 @@ class TaskRunner:
                     state, m = strategy.train_step(self, state, batch)
                     n_seen += self.config.batch_size
                     global_step += 1
+                # update boundary (window_buf is empty here in window mode):
+                # cooperative preemption saves a mid-epoch bundle and exits
+                # cleanly with 143; resume skips the consumed batches
+                preempt.tick_update()
+                if resume_dir and preempt.sync_preemption_requested(global_step):
+                    self._save_resume_bundle(
+                        resume_dir, state,
+                        {
+                            "task_id": task_id, "epoch": epoch,
+                            "batches_done": batch_idx + 1, "best_acc": best_acc,
+                            "wait": wait, "global_step": global_step,
+                            "history": history,
+                        },
+                        best_trainable,
+                    )
+                    LOGGER.warning(
+                        "preempted: resume bundle saved at task %d epoch %d "
+                        "batch %d; exiting 143", task_id, epoch, batch_idx + 1,
+                    )
+                    raise preempt.Preempted(
+                        f"preempted at task {task_id} epoch {epoch}"
+                    )
                 if profiling and batch_idx >= 20:
                     jax.block_until_ready(m["loss"])
                     jax.profiler.stop_trace()

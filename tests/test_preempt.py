@@ -1,0 +1,127 @@
+"""Cooperative preemption: SIGTERM -> clean exit at an update boundary with a
+mid-epoch resume bundle, and EXACT continuation (the reference has no signal
+handling at all — a preempted run loses everything since the last epoch-end
+checkpoint, mafed/train.py:284-301)."""
+
+import json
+import os
+import signal
+
+import numpy as np
+import pytest
+
+from mafed_tpu.core import preempt
+from tests.helpers import tiny_model_cfg, write_synthetic_vqa
+
+
+@pytest.fixture(autouse=True)
+def _clean_preempt_state():
+    preempt.clear()
+    yield
+    preempt.clear()
+
+
+def test_signal_handler_sets_flag():
+    preempt.install_handlers((signal.SIGUSR1,))
+    assert not preempt.preemption_requested()
+    os.kill(os.getpid(), signal.SIGUSR1)
+    assert preempt.preemption_requested()
+    preempt.clear()
+    assert not preempt.preemption_requested()
+
+
+def test_request_after_counts_updates():
+    preempt.request_preemption_after(2)
+    assert not preempt.preemption_requested()
+    preempt.tick_update()
+    assert not preempt.preemption_requested()
+    preempt.tick_update()
+    assert preempt.preemption_requested()
+
+
+def _make_cfg(root: str, out: str):
+    cfg = write_synthetic_vqa(root, tasks=("taskA",), n_train=16, n_val=4)
+    return cfg.replace(
+        cl_method="naive",
+        output_dir=out,
+        epochs=[2],
+        accumulate_grad_batches=2,
+        log_every=100,
+    )
+
+
+def _load_safetensors(path):
+    from safetensors.numpy import load_file
+
+    return load_file(path)
+
+
+@pytest.mark.slow
+def test_preempt_then_resume_matches_uninterrupted(tmp_path):
+    """Preempt after the first window of epoch 0, resume, finish: final
+    params bit-identical to the run that was never interrupted."""
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    # 16 train rows / batch 4 = 4 batches/epoch; window 2 -> 2 updates/epoch
+    root = str(tmp_path)
+    cfg_a = _make_cfg(root, os.path.join(root, "out_a"))
+    t_a = ContinualLearningTrainer(
+        cfg_a, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    )
+    t_a.main()
+    final_a = _load_safetensors(os.path.join(cfg_a.output_dir, "resume", "model.safetensors"))
+
+    cfg_b = _make_cfg(root, os.path.join(root, "out_b"))
+    preempt.request_preemption_after(1)  # stop after the 1st applied window
+    t_b = ContinualLearningTrainer(
+        cfg_b, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    )
+    with pytest.raises(preempt.Preempted) as exc:
+        t_b.main()
+    assert exc.value.code == 143
+
+    resume_dir = os.path.join(cfg_b.output_dir, "resume")
+    meta = json.load(open(os.path.join(resume_dir, "fit_state.json")))
+    assert meta["epoch"] == 0
+    assert meta["batches_done"] == 2  # one window = 2 microbatches consumed
+
+    preempt.clear()
+    cfg_b2 = cfg_b.replace(resume_from_checkpoint=resume_dir)
+    t_b2 = ContinualLearningTrainer(
+        cfg_b2, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    )
+    r = t_b2.main()
+    assert np.asarray(r["accuracy_matrix"]).shape == (1, 1)
+
+    final_b = _load_safetensors(os.path.join(resume_dir, "model.safetensors"))
+    assert final_a.keys() == final_b.keys()
+    for k in final_a:
+        np.testing.assert_array_equal(
+            final_a[k], final_b[k], err_msg=f"param {k} diverged after resume"
+        )
+
+
+@pytest.mark.slow
+def test_preempt_multisteps_path(tmp_path):
+    """Same contract on the per-microbatch MultiSteps path (window=1)."""
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    root = str(tmp_path)
+    cfg = _make_cfg(root, os.path.join(root, "out"))
+    cfg = cfg.replace(fused_window=False)
+    preempt.request_preemption_after(3)
+    t = ContinualLearningTrainer(
+        cfg, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    )
+    with pytest.raises(preempt.Preempted):
+        t.main()
+    meta = json.load(open(os.path.join(cfg.output_dir, "resume", "fit_state.json")))
+    assert meta["epoch"] == 0 and meta["batches_done"] == 3
+
+    preempt.clear()
+    cfg2 = cfg.replace(resume_from_checkpoint=os.path.join(cfg.output_dir, "resume"))
+    t2 = ContinualLearningTrainer(
+        cfg2, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    )
+    r = t2.main()
+    assert np.asarray(r["accuracy_matrix"]).shape == (1, 1)
