@@ -103,7 +103,6 @@ def main() -> None:
     # with the in-step vision pass (the r1/r2 workload).
     if os.environ.get("MAFED_BENCH_VISION", "cached") != "uncached":
         from mafed_tpu.data.images import make_normalizer
-        from mafed_tpu.training.train_state import merge_params
 
         normalize = make_normalizer(model_cfg.vision)
         vis_params = {"vision": frozen["vision"]}

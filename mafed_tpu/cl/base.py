@@ -16,6 +16,12 @@ class CLStrategy:
 
     name = "naive"
     needs_replay = False
+    # memory stream state (ER / featdistill): strategies with replay memory
+    # set _mem_loader/_mem_iter; mem_draws counts batches drawn since the
+    # last rebuild so resume bundles can fast-forward the seeded stream
+    _mem_iter = None
+    _mem_loader = None
+    mem_draws = 0
 
     def __init__(self, config, model_cfg, **kwargs) -> None:
         self.config = config
@@ -60,7 +66,22 @@ class CLStrategy:
         return runner.ce_window_step(state, runner.stack_window(self.window_batches(runner, idx_batches)))
 
     def next_memory_batch(self):
-        raise NotImplementedError
+        if self._mem_iter is None:
+            raise NotImplementedError(f"{self.name} has no memory stream")
+        self.mem_draws += 1
+        return next(self._mem_iter)
+
+    def fast_forward_memory(self, runner, n_draws: int) -> None:
+        """Mid-task resume: skip the first n_draws batches of the seeded
+        infinite memory stream (index-level — no decode/collate is paid for
+        skipped draws), so post-resume replay/distill batches match the
+        uninterrupted run's. No-op for strategies without memory."""
+        if n_draws <= 0 or self._mem_loader is None:
+            return
+        per_epoch = max(1, len(self._mem_loader))
+        self._mem_loader.set_epoch(n_draws // per_epoch, start_batch=n_draws % per_epoch)
+        self._mem_iter = iter(runner.memory_batches(self._mem_loader))
+        self.mem_draws = n_draws
 
     # -- task-level ---------------------------------------------------------
     def update(self, runner, state, dataset, loader) -> None:

@@ -55,13 +55,10 @@ class FeatureDistillation(CLStrategy):
 
     # -- steps ----------------------------------------------------------------
     def replay_step(self, runner, state):
-        batch = next(self._mem_iter)
+        batch = self.next_memory_batch()
         return runner.distill_step(
             state, self.teacher_trainable, batch, jnp.asarray(self.lang_coeff)
         )
-
-    def next_memory_batch(self):
-        return next(self._mem_iter)
 
     def supports_fused_window(self, window: int) -> bool:
         """The fused MAFED window step holds exactly window-1 CE microbatches
@@ -98,8 +95,9 @@ class FeatureDistillation(CLStrategy):
         assert len(set(indices.tolist())) == self.memory_per_task
         self.datasets.append(Subset(dataset, indices.tolist()))
         mem_dataset = ConcatDataset(self.datasets)
-        mem_loader = runner.make_train_loader(mem_dataset, infinite=True, seed=1)
-        self._mem_iter = iter(runner.memory_batches(mem_loader))
+        self._mem_loader = runner.make_train_loader(mem_dataset, infinite=True, seed=1)
+        self._mem_iter = iter(runner.memory_batches(self._mem_loader))
+        self.mem_draws = 0
         LOGGER.info("featdistill memory: %d samples", len(mem_dataset))
 
         if self.strategy == "adaptive":

@@ -35,12 +35,10 @@ class ER(CLStrategy):
 
     def _rebuild_memory_loader(self, runner) -> None:
         mem_dataset = ConcatDataset(self.datasets)
-        loader = runner.make_train_loader(mem_dataset, infinite=True, seed=1)
-        self._mem_iter = iter(runner.memory_batches(loader))
+        self._mem_loader = runner.make_train_loader(mem_dataset, infinite=True, seed=1)
+        self._mem_iter = iter(runner.memory_batches(self._mem_loader))
+        self.mem_draws = 0
         LOGGER.info("replay memory: %d samples over %d tasks", len(mem_dataset), len(self.datasets))
-
-    def next_memory_batch(self):
-        return next(self._mem_iter)
 
     def replay_step(self, runner, state):
         batch = self.next_memory_batch()

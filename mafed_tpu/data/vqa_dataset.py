@@ -62,6 +62,7 @@ class VQADataset:
         # key is cached the item ships "patches" instead of "pixels" and the
         # training/eval step skips the vision tower entirely
         self.vision_cache = vision_cache
+        self._resolved: Dict[str, str] = {}  # img_fname -> abs path (cache keys)
         self.store = AnnotationStore(data_path=data_path, split=split, split_file=split_file, task=task)
 
     def __len__(self) -> int:
@@ -71,11 +72,24 @@ class VQADataset:
         """Stable identity of an example's image (vision-cache key).
 
         Synthetic images are generated from the example index, so the key is
-        the index; real images key on the db filename (several questions
-        share one image — the cache dedupes them)."""
+        the index; real images key on the RESOLVED path (several questions
+        share one image — the cache dedupes them). The bare filename is not
+        enough: per-task/per-split image_dirs may contain same-named files
+        with different content, and a filename key would silently serve one
+        task's features for the other's image."""
         if self.synthetic_images:
             return f"synthetic:{index}"
-        return f"img:{self.store[index]['img_fname']}"
+        fname = self.store[index]["img_fname"]
+        path = self._resolved.get(fname)
+        if path is None:
+            path = fname  # unresolvable now; __getitem__'s load will raise
+            for d in self.image_dirs:
+                p = get_image_path(d, fname)
+                if os.path.exists(p):
+                    path = os.path.abspath(p)
+                    break
+            self._resolved[fname] = path
+        return f"img:{path}"
 
     def load_pixels(self, index: int) -> np.ndarray:
         """Raw preprocessed uint8 pixels, bypassing the vision cache (used by

@@ -10,6 +10,8 @@ top-1 best-checkpoint saving (train.py:243-263).
 
 from __future__ import annotations
 
+import itertools
+import json
 import math
 import os
 import time
@@ -256,16 +258,12 @@ class TaskRunner:
         n_mb = len(batches)
         wsh = self._window_sharding
         if all(isinstance(x, np.ndarray) for x in jax.tree.leaves(batches[0])):
-            # host batches (host_window): ONE stack + ONE async transfer per
-            # window. Multi-process host batches are this process's shards;
-            # make_array_from_process_local_data assembles the global layout.
+            # host batches (host_window, single-controller only — multi-
+            # process streams always arrive as global jax.Arrays via
+            # DevicePrefetcher): ONE stack + ONE async transfer per window.
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
             if wsh is None:
                 return jax.tree.map(jax.device_put, stacked)
-            if jax.process_count() > 1:
-                return jax.tree.map(
-                    lambda x: jax.make_array_from_process_local_data(wsh, x), stacked
-                )
             return jax.device_put(stacked, wsh)
         if wsh is None:
             return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
@@ -302,6 +300,16 @@ class TaskRunner:
                 self.model_cfg, self.config, self.tx,
                 n_ce=self.window - 1, attn_impl=self.attn_impl,
             )
+        if self._batch_sharding is not None and any(
+            isinstance(x, np.ndarray) for x in jax.tree.leaves(distill_batch)
+        ):
+            # host_window memory batch on a multi-device mesh: place it with
+            # the batch sharding explicitly — jit auto-placement would
+            # replicate it instead of sharding over 'data'
+            distill_batch = {
+                k: jax.device_put(v, self._batch_sharding) if isinstance(v, np.ndarray) else v
+                for k, v in distill_batch.items()
+            }
         return self._mafed_window_step(state, teacher_trainable, ce_stacked, distill_batch, lang_coeffs)
 
     def adaptive_weights_step(self, trainable, frozen, batch):
@@ -455,9 +463,15 @@ class TaskRunner:
         start_epoch = 0
 
         start_batch = 0
+        carry = None
         if resume and resume_dir and os.path.exists(os.path.join(resume_dir, "fit_state.json")):
-            state, meta, best_trainable = self._load_resume_bundle(resume_dir, state)
-            if meta.get("task_id") == task_id:
+            # peek BEFORE restoring: the bundle belongs to exactly one task —
+            # applying its params/opt_state to any other task would silently
+            # clobber that task's fresh state with stale weights
+            with open(os.path.join(resume_dir, "fit_state.json")) as f:
+                peek = json.loads(f.read())
+            if peek.get("task_id") == task_id:
+                state, meta, best_trainable = self._load_resume_bundle(resume_dir, state)
                 if meta.get("batches_done", 0) > 0:
                     # preemption bundle: resume INSIDE the epoch, skipping the
                     # batches already consumed into applied updates (the
@@ -470,6 +484,11 @@ class TaskRunner:
                 wait = meta["wait"]
                 global_step = meta["global_step"]
                 history = meta.get("history", [])
+                # the memory stream (ER/featdistill) is a seeded order too:
+                # fast-forward to the bundle's draw count so post-resume
+                # replay/distill batches match the uninterrupted run
+                strategy.fast_forward_memory(self, int(meta.get("mem_draws", 0)))
+                carry = meta.get("window_carry")
                 LOGGER.info(
                     "resuming task %d at epoch %d batch %d",
                     task_id, start_epoch, start_batch,
@@ -480,6 +499,25 @@ class TaskRunner:
         # a trailing partial window joins the next epoch's first microbatches
         # instead of being silently dropped (ADVICE r2)
         window_buf = []
+        window_buf_meta = []  # (epoch, batch_idx) per buffered microbatch
+        if carry:
+            # an epoch-end bundle was saved with a partial window carried
+            # toward the next epoch; replay those microbatches from their
+            # epochs' seeded orders so the resumed run applies them exactly
+            # as the uninterrupted run would (batch_idx is preserved — the
+            # replay cadence keys on it). Grouped by epoch: per-epoch indices
+            # are contiguous (sequential buffering).
+            for ep, group in itertools.groupby(carry, key=lambda p: p[0]):
+                idxs = [p[1] for p in group]
+                loader.set_epoch(int(ep), start_batch=int(idxs[0]))
+                refill = self.fit_batches(loader)
+                for i, b in zip(idxs, itertools.islice(refill, len(idxs))):
+                    window_buf.append((i, b))
+                    window_buf_meta.append((int(ep), int(i)))
+                close = getattr(refill, "close", None)
+                if close:
+                    close()
+            LOGGER.info("restored %d carried microbatches", len(window_buf))
         for epoch in range(start_epoch, epochs):
             epoch_start = time.time()
             n_seen = 0
@@ -494,10 +532,12 @@ class TaskRunner:
                 if self.window > 1:
                     # fused accumulation windows: one jit step per window
                     window_buf.append((batch_idx, batch))
+                    window_buf_meta.append((epoch, batch_idx))
                     if len(window_buf) < self.window:
                         continue
                     state, m = strategy.window_step(self, state, window_buf)
                     window_buf = []
+                    window_buf_meta = []
                     n_seen += self.config.batch_size * self.window
                     global_step += self.window
                 elif strategy.is_replay_batch(batch_idx):
@@ -520,6 +560,7 @@ class TaskRunner:
                             "batches_done": batch_idx + 1, "best_acc": best_acc,
                             "wait": wait, "global_step": global_step,
                             "history": history,
+                            "mem_draws": strategy.mem_draws,
                         },
                         best_trainable,
                     )
@@ -594,6 +635,11 @@ class TaskRunner:
                     {
                         "task_id": task_id, "epoch": epoch, "best_acc": best_acc,
                         "wait": wait, "global_step": global_step, "history": history,
+                        "mem_draws": strategy.mem_draws,
+                        # partial window carried into the next epoch: recorded
+                        # as (epoch, batch_idx) pairs so resume can replay the
+                        # exact microbatches from the seeded epoch orders
+                        "window_carry": [[e, i] for e, i in window_buf_meta] or None,
                     },
                     best_trainable,
                 )

@@ -64,9 +64,17 @@ def main() -> None:
         )
 
         pad = PAD_T - T
-        seg_q_np = np.pad(mask_np, ((0, 0), (0, pad)), constant_values=0)
-        # padding/masked tokens get segment 2 (!= 1): they attend nothing real
-        seg = jnp.asarray(np.where(seg_q_np > 0, 1, 2).astype(np.int32))
+        # like-for-like with the key-padding-mask semantics of the xla/pallas
+        # paths: ONLY keys are masked (segment 2 = attends/attended by
+        # nothing real) — every real query row stays segment 1 so masked-
+        # position query rows still attend valid keys exactly as the
+        # key-padding paths compute them; the [T, PAD_T) pad tail rows are
+        # segment 2 (they don't exist in the unpadded paths) and are sliced
+        # off the output
+        seg_kv_np = np.pad(mask_np, ((0, 0), (0, pad)), constant_values=0)
+        seg_kv = jnp.asarray(np.where(seg_kv_np > 0, 1, 2).astype(np.int32))
+        seg_q_np = np.pad(np.ones_like(mask_np), ((0, 0), (0, pad)), constant_values=0)
+        seg_q = jnp.asarray(np.where(seg_q_np > 0, 1, 2).astype(np.int32))
         bs = BlockSizes(
             block_q=min(128, PAD_T), block_k_major=min(128, PAD_T), block_k=min(128, PAD_T),
             block_b=1,
@@ -82,7 +90,7 @@ def main() -> None:
             vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
             o = flash_attention(
                 qp, kp, vp,
-                segment_ids=SegmentIds(q=seg, kv=seg),
+                segment_ids=SegmentIds(q=seg_q, kv=seg_kv),
                 causal=True, sm_scale=1.0 / float(np.sqrt(D)), block_sizes=bs,
             )
             return o[:, :, :T, :]

@@ -125,3 +125,108 @@ def test_preempt_multisteps_path(tmp_path):
     )
     r = t2.main()
     assert np.asarray(r["accuracy_matrix"]).shape == (1, 1)
+
+
+@pytest.mark.slow
+def test_preempt_resume_two_task_replay_matches_uninterrupted(tmp_path):
+    """Preempt mid-task-1 of a 2-task ER run; restart the FULL sequence with
+    resume_from_checkpoint. Covers two resume-correctness contracts:
+    (a) the task-1 bundle must NOT be applied to task 0's re-fit (stale-
+    bundle clobber), and (b) the seeded memory stream must fast-forward to
+    the bundle's draw count so post-resume replay batches match. Final
+    params must be bit-identical to the uninterrupted run."""
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+    from tests.helpers import write_synthetic_vqa
+
+    def cfg_for(out):
+        cfg = write_synthetic_vqa(str(tmp_path), tasks=("taskA", "taskB"), n_train=16, n_val=4)
+        return cfg.replace(
+            cl_method="replay",
+            cl_memory=8,
+            replay_interval=4,
+            output_dir=out,
+            epochs=[1, 2],
+            accumulate_grad_batches=2,
+            log_every=100,
+        )
+
+    cfg_a = cfg_for(os.path.join(str(tmp_path), "out_a"))
+    ContinualLearningTrainer(
+        cfg_a, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    ).main()
+    final_a = _load_safetensors(os.path.join(cfg_a.output_dir, "resume", "model.safetensors"))
+
+    # task 0: 1 epoch x 2 windows = 2 updates; preempt after task 1's 2nd
+    # window (epoch 0 done there, one memory draw consumed)
+    cfg_b = cfg_for(os.path.join(str(tmp_path), "out_b"))
+    preempt.request_preemption_after(4)
+    with pytest.raises(preempt.Preempted):
+        ContinualLearningTrainer(
+            cfg_b, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+        ).main()
+    resume_dir = os.path.join(cfg_b.output_dir, "resume")
+    meta = json.load(open(os.path.join(resume_dir, "fit_state.json")))
+    assert meta["task_id"] == 1
+    assert meta["epoch"] == 0 and meta["batches_done"] == 4
+    assert meta["mem_draws"] == 1
+
+    preempt.clear()
+    cfg_b2 = cfg_b.replace(resume_from_checkpoint=resume_dir)
+    r = ContinualLearningTrainer(
+        cfg_b2, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    ).main()
+    assert np.asarray(r["accuracy_matrix"]).shape == (2, 2)
+
+    final_b = _load_safetensors(os.path.join(resume_dir, "model.safetensors"))
+    assert final_a.keys() == final_b.keys()
+    for key in final_a:
+        np.testing.assert_array_equal(
+            final_a[key], final_b[key], err_msg=f"param {key} diverged after resume"
+        )
+
+
+@pytest.mark.slow
+def test_epoch_bundle_window_carry_resume_matches_uninterrupted(tmp_path):
+    """5 batches/epoch with window 2: each epoch ends with one carried
+    microbatch. Resuming from an epoch-end bundle must replay the carried
+    microbatch into the next epoch's first window exactly as the
+    uninterrupted run does."""
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+    from tests.helpers import write_synthetic_vqa
+
+    def cfg_for(out, epochs):
+        cfg = write_synthetic_vqa(str(tmp_path), tasks=("taskA",), n_train=20, n_val=4)
+        return cfg.replace(
+            cl_method="naive",
+            output_dir=out,
+            epochs=[epochs],
+            accumulate_grad_batches=2,
+            log_every=100,
+        )
+
+    cfg_a = cfg_for(os.path.join(str(tmp_path), "out_a"), 2)
+    ContinualLearningTrainer(
+        cfg_a, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    ).main()
+    final_a = _load_safetensors(os.path.join(cfg_a.output_dir, "resume", "model.safetensors"))
+
+    # stop cleanly after epoch 0 (its trailing batch 4 carried, unapplied)
+    cfg_b = cfg_for(os.path.join(str(tmp_path), "out_b"), 1)
+    ContinualLearningTrainer(
+        cfg_b, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    ).main()
+    resume_dir = os.path.join(cfg_b.output_dir, "resume")
+    meta = json.load(open(os.path.join(resume_dir, "fit_state.json")))
+    assert meta["window_carry"] == [[0, 4]]
+
+    cfg_b2 = cfg_for(os.path.join(str(tmp_path), "out_b"), 2).replace(
+        resume_from_checkpoint=resume_dir
+    )
+    ContinualLearningTrainer(
+        cfg_b2, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    ).main()
+    final_b = _load_safetensors(os.path.join(resume_dir, "model.safetensors"))
+    for key in final_a:
+        np.testing.assert_array_equal(
+            final_a[key], final_b[key], err_msg=f"param {key} diverged after carry resume"
+        )

@@ -132,3 +132,38 @@ def test_prime_and_dataset_emit_patches(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(item["patches"], np.float32), np.asarray(ref, np.float32)
     )
+
+
+def test_image_key_distinguishes_same_fname_in_different_dirs(tmp_path):
+    """Same-named files under different image_dirs must not share a cache
+    key — a bare-filename key would silently serve one task's features for
+    the other task's (different) image."""
+    from PIL import Image
+
+    from mafed_tpu.data.vqa_dataset import VQADataset
+
+    fname = "000001.jpg"
+    dirs = []
+    rng = np.random.default_rng(0)
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8).astype(np.uint8)).save(
+            str(d / fname)
+        )
+        dirs.append(str(d))
+
+    def bare(image_dirs):
+        ds = VQADataset.__new__(VQADataset)
+        ds.synthetic_images = False
+        ds.image_dirs = list(image_dirs)
+        ds._resolved = {}
+        ds.store = [{"img_fname": fname}]
+        return ds
+
+    ka = bare([dirs[0]]).image_key(0)
+    kb = bare([dirs[1]]).image_key(0)
+    assert ka != kb
+    assert dirs[0] in ka and dirs[1] in kb
+    # stable across calls (memoized) and equal for datasets sharing a dir
+    assert bare([dirs[0]]).image_key(0) == ka
