@@ -16,6 +16,7 @@ autograd loops.
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import jax
@@ -95,6 +96,7 @@ class FeatureDistillation(CLStrategy):
         assert len(set(indices.tolist())) == self.memory_per_task
         self.datasets.append(Subset(dataset, indices.tolist()))
         mem_dataset = ConcatDataset(self.datasets)
+        mem_dataset = self._maybe_prime_teacher_cache(runner, state, mem_dataset)
         self._mem_loader = runner.make_train_loader(mem_dataset, infinite=True, seed=1)
         self._mem_iter = iter(runner.memory_batches(self._mem_loader))
         self.mem_draws = 0
@@ -109,6 +111,55 @@ class FeatureDistillation(CLStrategy):
                 self.lang_coeff = (importances + self.task_id * self.lang_coeff) / (self.task_id + 1)
             LOGGER.info("adaptive lang coefficients: %s", np.round(self.lang_coeff, 4))
         self.task_id += 1
+
+    def _maybe_prime_teacher_cache(self, runner, state, mem_dataset):
+        """Teacher-state cache (data/teacher_cache.py): the teacher is frozen
+        for the whole task and the memory set is fixed, so each memory
+        example's teacher hidden states are computed ONCE here and the
+        steady-state distill step drops the teacher forward entirely."""
+        import time
+
+        from functools import partial
+
+        from mafed_tpu.data.collate import collate_train
+        from mafed_tpu.data.teacher_cache import (
+            TeacherStateCache,
+            TeacherStateView,
+            prime_teacher_cache,
+        )
+
+        cfg = self.config
+        if not getattr(cfg, "teacher_state_cache", False) or self.teacher_trainable is None:
+            return mem_dataset
+        deepest_tap = max(self.layers) if self.layers else 0
+        if cfg.distillation_coeff == 0 or not self.layers:
+            return mem_dataset  # pure-replay ablation: teacher never read
+        seq_len = self.model_cfg.vision.num_patches + runner.train_text_len
+        cache = TeacherStateCache(
+            getattr(cfg, "teacher_cache_dir", None) or os.path.join(cfg.output_dir, "teacher_cache"),
+            generation=self.task_id,
+            n_states=deepest_tap + 1,
+            seq_len=seq_len,
+            hidden=self.model_cfg.hidden_size,
+        )
+        cache.drop_older_generations()
+        t0 = time.time()
+        n = prime_teacher_cache(
+            cache, mem_dataset, self.teacher_trainable, state.frozen, self.model_cfg,
+            collate=partial(
+                collate_train,
+                text_len=runner.train_text_len,
+                label_tail=getattr(cfg, "label_tail", 0) or None,
+            ),
+            deepest_tap=deepest_tap,
+            batch_size=cfg.batch_size,
+        )
+        if n:
+            LOGGER.info(
+                "teacher cache gen%d: %d example states in %.1fs",
+                self.task_id, n, time.time() - t0,
+            )
+        return ConcatDataset([TeacherStateView(d, cache) for d in self.datasets])
 
     def _compute_adaptive_weights(self, runner, state, loader) -> np.ndarray:
         """Dataset-level modality importances (dl_weights.py:91-146)."""

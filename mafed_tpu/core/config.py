@@ -247,6 +247,15 @@ class TrainConfig:
     # gradients (the tower is frozen and the transform deterministic).
     vision_cache: bool = True
     vision_cache_dir: Optional[str] = None  # default: {output_dir}/vision_cache
+    # disk cache of the frozen distillation teacher's hidden states over the
+    # fixed per-task memory set (data/teacher_cache.py): primed once per
+    # task transition, the steady-state distill step then skips the teacher
+    # forward entirely (99.8 -> 103.8 ex/s/chip measured at 410M). Costs
+    # ~n_states*seq*hidden bf16 per memory example on disk (~63 GB at the
+    # canonical 410M/4000-memory config, bounded to one teacher generation);
+    # disable on disk-constrained hosts.
+    teacher_state_cache: bool = True
+    teacher_cache_dir: Optional[str] = None  # default: {output_dir}/teacher_cache
     # host->device transfer pipelining (data/prefetch.py); 2 measured best
     # on the tunneled single chip, tune upward on real hosts
     prefetch_depth: int = 2

@@ -51,6 +51,16 @@ def collate_train(items: List[Dict], text_len: int, label_tail: Optional[int] = 
         "labels": labels,
     }
     out.update(_collate_vision(items))
+    has_ths = ["t_hs" in it for it in items]
+    if all(has_ths):
+        # teacher-state cache steady state (data/teacher_cache.py):
+        # [B, n_states, seq, hidden] — the distill step skips the teacher
+        out["t_hs"] = np.stack([it["t_hs"] for it in items])
+    elif any(has_ths):
+        raise ValueError(
+            "batch mixes cached teacher states and misses; prime the teacher "
+            "cache over the full memory set before training"
+        )
     return out
 
 

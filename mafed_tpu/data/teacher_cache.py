@@ -1,0 +1,194 @@
+"""Disk-backed cache of the distillation teacher's hidden states.
+
+The MAFED teacher is FROZEN for the duration of a task (a copy of the
+previous task's best model, mafed/methods/distillation.py:75-79) and the
+replay memory it is evaluated on is a FIXED set sampled once per task
+(:182-209). Collation is static-shape (one fixed text bucket, left-pad), so
+a memory example's teacher hidden states never change within a task — yet
+the reference recomputes the full teacher forward for every draw of every
+epoch (distillation.py:218-224), and so did this build's fused window step.
+
+Like the vision cache (data/vision_cache.py), this removes the redundant
+work instead of making it faster: after the teacher updates at a task
+transition, ONE priming pass computes hidden states per memory example
+(batched, jitted, early-exited past the deepest distilled tap); steady-state
+distill steps consume them from the batch ("t_hs", [B, L, T, H] bf16) and
+the teacher forward leaves the compiled step entirely (measured 99.8 ->
+103.8 ex/s/chip on the MAFED window at 410M on v5e).
+
+Cost: n_states x seq_len x hidden bf16 per example (~15.8 MB at 410M /
+seq=336) — ~63 GB for the canonical 4000-example memory, bounded to ONE
+teacher generation (the previous generation's directory is deleted at each
+task transition). Disable with --no_teacher_state_cache on disk-constrained
+hosts. Writes are atomic; multi-process pods prime the shared directory
+convergently (benign races), same contract as the vision cache.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from typing import Dict, List, Optional
+
+import numpy as np
+
+try:
+    import ml_dtypes
+
+    _BF16 = ml_dtypes.bfloat16
+except Exception:  # pragma: no cover - ml_dtypes ships with jax
+    _BF16 = np.float32
+
+
+class TeacherStateCache:
+    """One .npy of [n_states, seq_len, hidden] (seq = vision ++ text) per (teacher generation,
+    question_id), under base_dir/gen{g}/."""
+
+    def __init__(self, base_dir: str, generation: int, n_states: int, seq_len: int, hidden: int) -> None:
+        self.dir = os.path.join(base_dir, f"gen{generation}")
+        self.base_dir = base_dir
+        self.generation = generation
+        self.n_states = n_states
+        self.seq_len = seq_len
+        self.hidden = hidden
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, qid) -> str:
+        h = hashlib.sha1(str(qid).encode()).hexdigest()
+        return os.path.join(self.dir, h[:2], f"{h}.npy")
+
+    def has(self, qid) -> bool:
+        return os.path.exists(self._path(qid))
+
+    def load(self, qid) -> Optional[np.ndarray]:
+        path = self._path(qid)
+        if not os.path.exists(path):
+            return None
+        arr = np.load(path)
+        return arr.view(_BF16) if arr.dtype == np.uint16 else arr
+
+    def save(self, qid, states: np.ndarray) -> None:
+        expect = (self.n_states, self.seq_len, self.hidden)
+        if states.shape != expect:
+            raise ValueError(f"teacher state shape {states.shape} != {expect}")
+        path = self._path(qid)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if _BF16 is np.float32:
+            arr = np.asarray(states, np.float32)
+        else:
+            arr = np.asarray(states).astype(_BF16).view(np.uint16)
+        tmp = f"{path}.{os.getpid()}.tmp.npy"
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, path)
+
+    def drop_older_generations(self) -> None:
+        """Bound disk use to the live teacher: delete gen dirs < generation."""
+        if not os.path.isdir(self.base_dir):
+            return
+        for name in os.listdir(self.base_dir):
+            if name.startswith("gen"):
+                try:
+                    g = int(name[3:])
+                except ValueError:
+                    continue
+                if g < self.generation:
+                    shutil.rmtree(os.path.join(self.base_dir, name), ignore_errors=True)
+
+
+class TeacherStateView:
+    """Wrap a memory dataset so items carry their cached teacher states.
+
+    Applied per task transition (a NEW cache generation per teacher) on top
+    of the raw memory Subsets — the underlying datasets are shared with the
+    strategy's membership bookkeeping and stay unmodified."""
+
+    def __init__(self, dataset, cache: TeacherStateCache) -> None:
+        self.dataset = dataset
+        self.cache = cache
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, index: int) -> Dict:
+        item = self.dataset[index]
+        t_hs = self.cache.load(item.get("question_id"))
+        if t_hs is not None:
+            item["t_hs"] = t_hs
+        return item
+
+
+def prime_teacher_cache(
+    cache: TeacherStateCache,
+    dataset,
+    teacher_trainable,
+    frozen,
+    model_cfg,
+    collate,
+    deepest_tap: int,
+    batch_size: int = 16,
+) -> int:
+    """Compute + store teacher hidden states for every uncached memory
+    example. ONE jitted early-exit teacher forward per batch; the partial
+    final batch is padded to the compiled size. Returns examples computed.
+    Safe to re-run and safe under multi-process (atomic writes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mafed_tpu.data.images import prep_pixels
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.training.train_state import merge_params
+
+    todo: List[int] = []
+    qids: List = []
+    for i in range(len(dataset)):
+        # membership metadata only — cheap relative to the fwd it saves
+        qid = dataset[i].get("question_id")
+        if not cache.has(qid):
+            todo.append(i)
+            qids.append(qid)
+    if not todo:
+        return 0
+
+    params = merge_params(teacher_trainable, frozen)
+
+    # params as ARGUMENTS (closure-captured device arrays bake into the
+    # program; oversized compile payloads on remote-compile TPU tunnels)
+    @jax.jit
+    def t_fwd(p, input_ids, attention_mask, patches):
+        return vl_pythia.forward(
+            p, model_cfg, input_ids, None, attention_mask, None,
+            patch_embeddings=patches, output_hidden_states=True,
+            dtype=jnp.bfloat16, attn_impl="xla", need_logits=False,
+            num_layers=deepest_tap,
+        ).hidden_states
+
+    @jax.jit
+    def t_fwd_px(p, input_ids, attention_mask, pixels):
+        px = prep_pixels({"pixels": pixels}, model_cfg.vision, jnp.bfloat16)
+        return vl_pythia.forward(
+            p, model_cfg, input_ids, px, attention_mask, None,
+            output_hidden_states=True,
+            dtype=jnp.bfloat16, attn_impl="xla", need_logits=False,
+            num_layers=deepest_tap,
+        ).hidden_states
+
+    n_done = 0
+    for start in range(0, len(todo), batch_size):
+        idxs = todo[start : start + batch_size]
+        items = [dataset[i] for i in idxs]
+        n_real = len(items)
+        while len(items) < batch_size:  # pad to the compiled batch size
+            items.append(items[-1])
+        batch = collate(items)
+        if "patches" in batch:
+            hs = t_fwd(params, batch["input_ids"], batch["attention_mask"],
+                       jnp.asarray(batch["patches"], jnp.bfloat16))
+        else:
+            hs = t_fwd_px(params, batch["input_ids"], batch["attention_mask"], batch["pixels"])
+        hs_np = np.asarray(jnp.moveaxis(hs, 0, 1).astype(jnp.float32))  # [B, L, T, H]
+        for j in range(n_real):
+            cache.save(qids[start + j], hs_np[j])
+            n_done += 1
+    return n_done

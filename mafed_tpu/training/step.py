@@ -371,20 +371,29 @@ def make_distill_loss_fn(
             remat_policy=student_policy,
             label_tail=tail,
         )
-        teacher_params = merge_params(teacher_trainable, frozen)
-        # teacher is frozen (stop_gradient): XLA attention's faster
-        # forward applies; no residuals are kept for it. Early-exit after
-        # the deepest distilled tap — hidden_states beyond max(layers)
-        # are never read (the reference runs the full teacher and drops
-        # them, distillation.py:105-122).
-        teacher = vl_pythia.forward(
-            jax.lax.stop_gradient(teacher_params), model_cfg,
-            batch["input_ids"], None, batch["attention_mask"], None,
-            patch_embeddings=patches, output_hidden_states=True,
-            dtype=dtype, attn_impl="xla", need_logits=False,
-            num_layers=deepest_tap,
-        )
-        t_hs = jax.lax.stop_gradient(teacher.hidden_states)
+        t_hs = batch.get("t_hs")
+        if t_hs is not None:
+            # teacher-state cache (data/teacher_cache.py): the teacher is
+            # FROZEN for the whole task and the memory set is fixed, so its
+            # hidden states per memory example never change — they arrive
+            # with the batch as [B, deepest_tap+1, T, H] (collate layout)
+            # and the teacher forward leaves the step entirely
+            t_hs = jnp.moveaxis(t_hs, 0, 1).astype(dtype)
+        else:
+            teacher_params = merge_params(teacher_trainable, frozen)
+            # teacher is frozen (stop_gradient): XLA attention's faster
+            # forward applies; no residuals are kept for it. Early-exit after
+            # the deepest distilled tap — hidden_states beyond max(layers)
+            # are never read (the reference runs the full teacher and drops
+            # them, distillation.py:105-122).
+            teacher = vl_pythia.forward(
+                jax.lax.stop_gradient(teacher_params), model_cfg,
+                batch["input_ids"], None, batch["attention_mask"], None,
+                patch_embeddings=patches, output_hidden_states=True,
+                dtype=dtype, attn_impl="xla", need_logits=False,
+                num_layers=deepest_tap,
+            )
+            t_hs = jax.lax.stop_gradient(teacher.hidden_states)
 
         loss = jnp.zeros((), jnp.float32)
         if replay_coeff > 0 and student.loss is not None:

@@ -1,0 +1,156 @@
+"""Teacher-state cache (data/teacher_cache.py): the frozen per-task teacher's
+hidden states over the fixed memory set are computed once at task transition;
+steady-state distill steps consume them and skip the teacher forward.
+Equivalence: cached and in-step teacher must produce the same training."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mafed_tpu.core.config import TrainConfig
+from mafed_tpu.data.teacher_cache import TeacherStateCache, TeacherStateView
+from mafed_tpu.models import vl_pythia
+from mafed_tpu.optim.optimizer import build_optimizer
+from mafed_tpu.optim.sched import linear_warmup_schedule
+from mafed_tpu.training.step import make_distill_step
+from mafed_tpu.training.train_state import TrainState, split_params
+from tests.helpers import tiny_model_cfg, write_synthetic_vqa
+from __graft_entry__ import _example_batch
+
+
+def test_cache_roundtrip_and_generation_cleanup(tmp_path):
+    base = str(tmp_path / "tc")
+    c0 = TeacherStateCache(base, generation=0, n_states=3, seq_len=8, hidden=4)
+    rng = np.random.default_rng(0)
+    states = rng.standard_normal((3, 8, 4)).astype(np.float32)
+    c0.save("q1", states)
+    assert c0.has("q1") and not c0.has("q2")
+    back = np.asarray(c0.load("q1"), np.float32)
+    # bf16 storage: exact after a bf16 roundtrip of the input
+    np.testing.assert_array_equal(back, np.asarray(jnp.asarray(states, jnp.bfloat16), np.float32))
+    with pytest.raises(ValueError):
+        c0.save("bad", np.zeros((2, 8, 4), np.float32))
+
+    c1 = TeacherStateCache(base, generation=1, n_states=3, seq_len=8, hidden=4)
+    c1.drop_older_generations()
+    assert not os.path.isdir(c0.dir)
+    assert not c1.has("q1")  # generations are keyed apart
+
+
+def test_view_attaches_states(tmp_path):
+    cache = TeacherStateCache(str(tmp_path), generation=0, n_states=2, seq_len=4, hidden=3)
+    cache.save("qA", np.ones((2, 4, 3), np.float32))
+
+    class Tiny:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"question_id": ["qA", "qB"][i], "x": i}
+
+    view = TeacherStateView(Tiny(), cache)
+    assert "t_hs" in view[0] and view[0]["t_hs"].shape == (2, 4, 3)
+    assert "t_hs" not in view[1]  # miss stays absent (collate hard-fails on mixes)
+
+
+def test_distill_step_cached_teacher_matches_in_step():
+    """A distill step consuming precomputed t_hs must match the step that
+    runs the teacher forward in-graph (same jitted teacher math)."""
+    model_cfg = tiny_model_cfg()
+    train_cfg = TrainConfig(
+        batch_size=4, learning_rate=1e-3, optim="adamw",
+        replay_coeff=1.0, distillation_coeff=1.0,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+        distillation_layer_discount=0.5,
+    )
+    params_s = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(0))
+    params_t = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(7))
+    params_t["vision"] = params_s["vision"]
+    trainable, frozen = split_params(params_s)
+    teacher_trainable, _ = split_params(params_t)
+    tx = build_optimizer(train_cfg, trainable, linear_warmup_schedule(1e-3, 1, 100))
+
+    batch = {k: jnp.asarray(v) for k, v in _example_batch(model_cfg, 4, 16).items()}
+    lang_coeffs = jnp.full((model_cfg.num_hidden_layers - 1,), 0.5, jnp.float32)
+    step = make_distill_step(model_cfg, train_cfg, tx, attn_impl="xla", donate=False)
+
+    def fresh_state():
+        t = jax.tree.map(jnp.array, trainable)
+        return TrainState(jnp.zeros((), jnp.int32), t, frozen, tx.init(t))
+
+    s_ref, m_ref = step(fresh_state(), teacher_trainable, batch, lang_coeffs)
+
+    # precompute teacher states exactly as prime_teacher_cache does
+    from mafed_tpu.data.images import prep_pixels
+    from mafed_tpu.training.train_state import merge_params
+
+    deepest = model_cfg.num_hidden_layers - 2
+    px = prep_pixels({"pixels": batch["pixels"]}, model_cfg.vision, jnp.bfloat16)
+    hs = vl_pythia.forward(
+        merge_params(teacher_trainable, frozen), model_cfg,
+        batch["input_ids"], px, batch["attention_mask"], None,
+        output_hidden_states=True,
+        dtype=jnp.bfloat16, attn_impl="xla", need_logits=False, num_layers=deepest,
+    ).hidden_states
+    cached_batch = dict(batch)
+    # collate layout + the cache's bf16 storage roundtrip
+    cached_batch["t_hs"] = jnp.moveaxis(hs, 0, 1).astype(jnp.bfloat16)
+
+    s_c, m_c = step(fresh_state(), teacher_trainable, cached_batch, lang_coeffs)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_c["loss"]), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_ref.trainable), jax.tree.leaves(s_c.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_e2e_featdistill_teacher_cache_matches_uncached(tmp_path):
+    """2-task featdistill sequence with the teacher-state cache on vs off:
+    same final checkpoints (the cache must be a pure work-removal)."""
+    from safetensors.numpy import load_file
+
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    def run(out, cache_on):
+        cfg = write_synthetic_vqa(str(tmp_path), tasks=("taskA", "taskB"), n_train=16, n_val=4)
+        cfg = cfg.replace(
+            cl_method="featdistill",
+            cl_memory=8,
+            replay_interval=4,
+            distillation_coeff=1.0,
+            replay_coeff=1.0,
+            distillation_modality_weighing_strategy="balanced",
+            distillation_layer_weighing_strategy="discounted",
+            output_dir=out,
+            epochs=[1, 2],
+            accumulate_grad_batches=2,
+            teacher_state_cache=cache_on,
+            log_every=100,
+        )
+        r = ContinualLearningTrainer(
+            cfg, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+        ).main()
+        return cfg, r
+
+    cfg_on, r_on = run(os.path.join(str(tmp_path), "on"), True)
+    cfg_off, r_off = run(os.path.join(str(tmp_path), "off"), False)
+
+    # the cache was actually exercised
+    assert os.path.isdir(os.path.join(cfg_on.output_dir, "teacher_cache", "gen0"))
+
+    np.testing.assert_allclose(
+        np.asarray(r_on["accuracy_matrix"]), np.asarray(r_off["accuracy_matrix"]), atol=1e-6
+    )
+    for task in ("taskA", "taskB"):
+        a = load_file(os.path.join(cfg_on.output_dir, "ckpt", f"{task}_best.safetensors"))
+        b = load_file(os.path.join(cfg_off.output_dir, "ckpt", f"{task}_best.safetensors"))
+        for k in a:
+            np.testing.assert_allclose(
+                a[k].astype(np.float32), b[k].astype(np.float32),
+                rtol=2e-3, atol=2e-3, err_msg=f"{task}:{k}",
+            )
