@@ -118,6 +118,11 @@ class TeacherStateView:
             item["t_hs"] = t_hs
         return item
 
+    def question_id(self, index: int):
+        from mafed_tpu.data.vqa_dataset import question_id_of
+
+        return question_id_of(self.dataset, index)
+
 
 def prime_teacher_cache(
     cache: TeacherStateCache,
@@ -140,11 +145,14 @@ def prime_teacher_cache(
     from mafed_tpu.models import vl_pythia
     from mafed_tpu.training.train_state import merge_params
 
+    from mafed_tpu.data.vqa_dataset import question_id_of
+
     todo: List[int] = []
     qids: List = []
     for i in range(len(dataset)):
-        # membership metadata only — cheap relative to the fwd it saves
-        qid = dataset[i].get("question_id")
+        # metadata-only membership scan: no image decode / feature load for
+        # already-cached examples (question_id_of, vqa_dataset.py)
+        qid = question_id_of(dataset, i)
         if not cache.has(qid):
             todo.append(i)
             qids.append(qid)

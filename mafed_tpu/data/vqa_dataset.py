@@ -91,6 +91,12 @@ class VQADataset:
             self._resolved[fname] = path
         return f"img:{path}"
 
+    def question_id(self, index: int):
+        """Example identity WITHOUT image decode / feature load — annotation
+        metadata only. Used by cache-membership scans (teacher_cache.py) that
+        would otherwise pay a full __getitem__ per example just for the id."""
+        return self.store[index].get("question_id")
+
     def load_pixels(self, index: int) -> np.ndarray:
         """Raw preprocessed uint8 pixels, bypassing the vision cache (used by
         the cache priming pass)."""
@@ -153,6 +159,10 @@ class ConcatDataset:
         ds_idx = int(np.searchsorted(self._offsets, index, side="right") - 1)
         return self.datasets[ds_idx][index - int(self._offsets[ds_idx])]
 
+    def question_id(self, index: int):
+        ds_idx = int(np.searchsorted(self._offsets, index, side="right") - 1)
+        return question_id_of(self.datasets[ds_idx], index - int(self._offsets[ds_idx]))
+
 
 class Subset:
     def __init__(self, dataset, indices: Sequence[int]) -> None:
@@ -164,3 +174,15 @@ class Subset:
 
     def __getitem__(self, i: int):
         return self.dataset[self.indices[i]]
+
+    def question_id(self, i: int):
+        return question_id_of(self.dataset, self.indices[i])
+
+
+def question_id_of(dataset, index: int):
+    """Cheap example identity: the metadata-only accessor when the dataset
+    provides one, else a full __getitem__ (synthetic/test datasets)."""
+    fn = getattr(dataset, "question_id", None)
+    if fn is not None:
+        return fn(index)
+    return dataset[index].get("question_id")

@@ -57,6 +57,37 @@ def test_view_attaches_states(tmp_path):
     assert "t_hs" not in view[1]  # miss stays absent (collate hard-fails on mixes)
 
 
+def test_membership_scan_is_metadata_only(tmp_path):
+    """prime_teacher_cache's cache-hit scan must read question ids via the
+    metadata-only accessor — a fully-primed memory set of N examples must not
+    pay N image loads per task transition (vqa_dataset.question_id_of)."""
+    from mafed_tpu.data.teacher_cache import prime_teacher_cache
+    from mafed_tpu.data.vqa_dataset import Subset, question_id_of
+
+    loads = []
+
+    class Counting:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            loads.append(i)
+            return {"question_id": f"q{i}"}
+
+        def question_id(self, i):
+            return f"q{i}"
+
+    cache = TeacherStateCache(str(tmp_path), generation=0, n_states=2, seq_len=4, hidden=3)
+    for i in range(3):
+        cache.save(f"q{i}", np.zeros((2, 4, 3), np.float32))
+    n = prime_teacher_cache(
+        cache, Subset(Counting(), [0, 1, 2]), None, None, None,
+        collate=None, deepest_tap=1,
+    )
+    assert n == 0 and loads == []
+    assert question_id_of(Counting(), 1) == "q1"
+
+
 def test_distill_step_cached_teacher_matches_in_step():
     """A distill step consuming precomputed t_hs must match the step that
     runs the teacher forward in-graph (same jitted teacher math)."""
