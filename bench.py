@@ -9,15 +9,16 @@ optimizer update. This is exactly what trainer/runner.py executes per window
 with config.fused_window (the default). VL-Pythia-410M + EVA-02-L/14,
 256 vision + 80 text tokens, bf16.
 
-Since r3 the default measures the STEADY STATE under the trainer-default
-work-removal caches: the vision cache (data/vision_cache.py — frozen
-EVA-02 features precomputed once per unique image at task priming; no
-vision tower in the step) and the teacher-state cache
-(data/teacher_cache.py — the frozen per-task teacher's hidden states over
-the fixed memory set precomputed at task transition; no teacher forward in
-the step). MAFED_BENCH_TEACHER=uncached restores the in-step teacher
-(99.8 ex/s/chip at r3); MAFED_BENCH_VISION=uncached additionally restores
-the r1/r2 in-step-vision workload (79.4 ex/s/chip at r3).
+Since r3 the default measures the VISION-CACHE STEADY STATE (the trainer
+default, data/vision_cache.py): frozen EVA-02 features are precomputed once
+per unique image at task priming, so the per-window step contains no vision
+tower. MAFED_BENCH_VISION=uncached restores the r1/r2 in-step-vision
+workload (79.4 ex/s/chip at r3). MAFED_BENCH_TEACHER=cached additionally
+measures the OPT-IN teacher-state cache (data/teacher_cache.py, matching
+--teacher_state_cache: the frozen per-task teacher's hidden states over the
+fixed memory set precomputed at task transition, no teacher forward in the
+step — 99.8 -> 103.8 ex/s/chip at r3, step-isolated; off by default because
+streaming the states costs ~410 MB/s/chip of disk+PCIe for a ~4% step win).
 
 vs_baseline: ratio to an estimated A100 throughput of the reference's eager
 per-microbatch loop for the same window, derived from analytic FLOPs
@@ -125,13 +126,13 @@ def main() -> None:
         ce_stack["patches"] = jnp.stack([feats(vis_params, ce_px[i]) for i in range(n_ce)])
         jax.block_until_ready(ce_stack["patches"])
         print("vision features precomputed", file=sys.stderr, flush=True)
-    if os.environ.get("MAFED_BENCH_TEACHER", "cached") != "uncached" and "patches" in batch:
-        # teacher-state cache steady state (the trainer default,
-        # data/teacher_cache.py): the frozen teacher's hidden states for the
+    if os.environ.get("MAFED_BENCH_TEACHER", "uncached") == "cached" and "patches" in batch:
+        # OPT-IN teacher-state cache (data/teacher_cache.py,
+        # --teacher_state_cache): the frozen teacher's hidden states for the
         # (fixed) memory examples are precomputed once per task; the distill
         # step consumes them as [B, L, T, H] (collate layout) and skips the
-        # teacher forward. MAFED_BENCH_TEACHER=uncached restores the in-step
-        # teacher (103.8 -> 99.8 ex/s/chip measured at r3).
+        # teacher forward (99.8 -> 103.8 ex/s/chip measured at r3,
+        # step-isolated; not the trainer default — see config.py).
         from mafed_tpu.training.train_state import merge_params
 
         deepest = model_cfg.num_hidden_layers - 2

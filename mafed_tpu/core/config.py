@@ -247,14 +247,17 @@ class TrainConfig:
     # gradients (the tower is frozen and the transform deterministic).
     vision_cache: bool = True
     vision_cache_dir: Optional[str] = None  # default: {output_dir}/vision_cache
-    # disk cache of the frozen distillation teacher's hidden states over the
-    # fixed per-task memory set (data/teacher_cache.py): primed once per
-    # task transition, the steady-state distill step then skips the teacher
-    # forward entirely (99.8 -> 103.8 ex/s/chip measured at 410M). Costs
-    # ~n_states*seq*hidden bf16 per memory example on disk (~63 GB at the
-    # canonical 410M/4000-memory config, bounded to one teacher generation);
-    # disable on disk-constrained hosts.
-    teacher_state_cache: bool = True
+    # OPT-IN disk cache of the frozen distillation teacher's hidden states
+    # over the fixed per-task memory set (data/teacher_cache.py): primed once
+    # per task transition, the steady-state distill step then skips the
+    # teacher forward entirely (99.8 -> 103.8 ex/s/chip step-isolated at
+    # 410M). Default OFF: the in-step early-exited teacher costs only ~4% of
+    # the window, while streaming the cached states costs ~15.8 MB/example
+    # (~410 MB/s/chip sustained disk+PCIe at canonical shapes, ~63 GB disk
+    # for the 4000-example memory) — a net win only on bandwidth-rich hosts
+    # (measured: integrated MAFED epochs collapse 12x through a ~30 MB/s
+    # transport while the step bench gains 4%).
+    teacher_state_cache: bool = False
     teacher_cache_dir: Optional[str] = None  # default: {output_dir}/teacher_cache
     # host->device transfer pipelining (data/prefetch.py); 2 measured best
     # on the tunneled single chip, tune upward on real hosts

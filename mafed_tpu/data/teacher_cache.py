@@ -19,9 +19,13 @@ the teacher forward leaves the compiled step entirely (measured 99.8 ->
 Cost: n_states x seq_len x hidden bf16 per example (~15.8 MB at 410M /
 seq=336) — ~63 GB for the canonical 4000-example memory, bounded to ONE
 teacher generation (the previous generation's directory is deleted at each
-task transition). Disable with --no_teacher_state_cache on disk-constrained
-hosts. Writes are atomic; multi-process pods prime the shared directory
-convergently (benign races), same contract as the vision cache.
+task transition), and ~410 MB/s/chip of sustained disk+PCIe streaming at
+canonical shapes. OPT-IN via --teacher_state_cache: the in-step
+early-exited teacher is only ~4% of the window, so the cache is a net win
+only on hosts with that bandwidth to spare (measured: integrated epochs
+collapse 12x through a ~30 MB/s transport — docs/ARCHITECTURE.md design
+decision 8). Writes are atomic; multi-process pods prime the shared
+directory convergently (benign races), same contract as the vision cache.
 """
 
 from __future__ import annotations

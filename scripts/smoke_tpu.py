@@ -53,7 +53,7 @@ def main() -> None:
         # throughput by ~20%)
         log_every=int(os.environ.get("SMOKE_LOG_EVERY", "50")),
         remat_policy=os.environ.get("SMOKE_REMAT_POLICY", ""),
-        teacher_state_cache=os.environ.get("SMOKE_TEACHER_CACHE", "1") == "1",
+        teacher_state_cache=os.environ.get("SMOKE_TEACHER_CACHE", "0") == "1",
         allow_tokenizer_fallback=True,
     )
     model_cfg = ModelConfig()  # the real 410M + EVA-02-L
