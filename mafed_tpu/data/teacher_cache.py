@@ -30,62 +30,40 @@ directory convergently (benign races), same contract as the vision cache.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
-try:
-    import ml_dtypes
-
-    _BF16 = ml_dtypes.bfloat16
-except Exception:  # pragma: no cover - ml_dtypes ships with jax
-    _BF16 = np.float32
+from mafed_tpu.data.diskcache import ArrayDiskCache
 
 
-class TeacherStateCache:
-    """One .npy of [n_states, seq_len, hidden] (seq = vision ++ text) per (teacher generation,
-    question_id), under base_dir/gen{g}/."""
+class TeacherStateCache(ArrayDiskCache):
+    """One .npy of [n_states, seq_len, hidden] (seq = vision ++ text) per
+    (teacher generation, question_id), under base_dir/gen{g}/. The generation
+    dir is additionally fingerprint-stamped against the teacher params at
+    priming (diskcache.set_fingerprint), so a fresh run reusing an old
+    output_dir re-primes instead of serving another run's teacher states."""
 
     def __init__(self, base_dir: str, generation: int, n_states: int, seq_len: int, hidden: int) -> None:
-        self.dir = os.path.join(base_dir, f"gen{generation}")
+        super().__init__(os.path.join(base_dir, f"gen{generation}"), (n_states, seq_len, hidden))
+        self.dir = self.cache_dir
         self.base_dir = base_dir
         self.generation = generation
         self.n_states = n_states
         self.seq_len = seq_len
         self.hidden = hidden
-        os.makedirs(self.dir, exist_ok=True)
 
-    def _path(self, qid) -> str:
-        h = hashlib.sha1(str(qid).encode()).hexdigest()
-        return os.path.join(self.dir, h[:2], f"{h}.npy")
-
+    # question_ids may be ints (VQA-v2) — key on their string form
     def has(self, qid) -> bool:
-        return os.path.exists(self._path(qid))
+        return super().has(str(qid))
 
-    def load(self, qid) -> Optional[np.ndarray]:
-        path = self._path(qid)
-        if not os.path.exists(path):
-            return None
-        arr = np.load(path)
-        return arr.view(_BF16) if arr.dtype == np.uint16 else arr
+    def load(self, qid):
+        return super().load(str(qid))
 
     def save(self, qid, states: np.ndarray) -> None:
-        expect = (self.n_states, self.seq_len, self.hidden)
-        if states.shape != expect:
-            raise ValueError(f"teacher state shape {states.shape} != {expect}")
-        path = self._path(qid)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        if _BF16 is np.float32:
-            arr = np.asarray(states, np.float32)
-        else:
-            arr = np.asarray(states).astype(_BF16).view(np.uint16)
-        tmp = f"{path}.{os.getpid()}.tmp.npy"
-        with open(tmp, "wb") as f:
-            np.save(f, arr)
-        os.replace(tmp, path)
+        super().save(str(qid), states)
 
     def drop_older_generations(self) -> None:
         """Bound disk use to the live teacher: delete gen dirs < generation."""
@@ -128,6 +106,14 @@ class TeacherStateView:
         return question_id_of(self.dataset, index)
 
 
+def teacher_fingerprint(teacher_trainable, frozen) -> str:
+    """Digest binding a cache generation to the exact teacher (trainable copy
+    + frozen tower/embeddings) whose states it holds."""
+    from mafed_tpu.data.diskcache import params_fingerprint
+
+    return "teacher:" + params_fingerprint({"teacher": teacher_trainable, "frozen": frozen})
+
+
 def prime_teacher_cache(
     cache: TeacherStateCache,
     dataset,
@@ -151,12 +137,32 @@ def prime_teacher_cache(
 
     from mafed_tpu.data.vqa_dataset import question_id_of
 
+    # staleness guard BEFORE the membership scan: cached states are a
+    # function of the teacher params; a generation dir primed by a previous
+    # run's teacher (same output_dir, same task index, different weights)
+    # is wiped and re-primed
+    cache.set_fingerprint(teacher_fingerprint(teacher_trainable, frozen))
+
     todo: List[int] = []
     qids: List = []
+    seen: set = set()
     for i in range(len(dataset)):
         # metadata-only membership scan: no image decode / feature load for
         # already-cached examples (question_id_of, vqa_dataset.py)
         qid = question_id_of(dataset, i)
+        if qid is None:
+            raise ValueError(
+                "teacher-state cache requires a question_id per memory "
+                "example; annotations without ids would all collapse onto "
+                "one cache entry (disable --teacher_state_cache)"
+            )
+        if str(qid) in seen:
+            raise ValueError(
+                f"duplicate question_id {qid!r} in the memory set: ids must "
+                "be unique across tasks or cached teacher states would be "
+                "served across examples (disable --teacher_state_cache)"
+            )
+        seen.add(str(qid))
         if not cache.has(qid):
             todo.append(i)
             qids.append(qid)
@@ -164,6 +170,17 @@ def prime_teacher_cache(
         return 0
 
     params = merge_params(teacher_trainable, frozen)
+    if jax.process_count() > 1:
+        # every process scans the SHARED dir, so dispatch counts can diverge
+        # across processes (a faster peer's atomic writes land mid-scan) —
+        # the priming fn must therefore consume process-LOCAL arrays, never
+        # globally-sharded ones (whose computations must be launched
+        # collectively, in lockstep, by all processes)
+        from mafed_tpu.evaluation.validate import localize_params
+
+        params = localize_params(
+            params, jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        )
 
     # params as ARGUMENTS (closure-captured device arrays bake into the
     # program; oversized compile payloads on remote-compile TPU tunnels)

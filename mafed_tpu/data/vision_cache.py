@@ -16,59 +16,27 @@ JPEG decode) leaves the steady-state step entirely. Gradients are
 bit-identical — the projector, which IS trainable, still applies inside the
 differentiated forward.
 
-Storage: one .npy (uint16-viewed bfloat16) per image under sharded
-subdirectories; writes are atomic (tmp + rename), so concurrent writers
-(multi-process pods priming the same shared dir) race benignly.
+Storage/atomicity/staleness: data/diskcache.py — the dir is stamped with a
+digest of the frozen vision params at priming, so re-running in the same
+output_dir with a different pretrained tower re-primes instead of serving
+the old tower's features.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 
-try:
-    import ml_dtypes
-
-    _BF16 = ml_dtypes.bfloat16
-except Exception:  # pragma: no cover - ml_dtypes ships with jax
-    _BF16 = np.float32
+from mafed_tpu.data.diskcache import ArrayDiskCache
 
 
-class VisionFeatureCache:
+class VisionFeatureCache(ArrayDiskCache):
     def __init__(self, cache_dir: str, n_patches: int, dim: int) -> None:
-        self.cache_dir = cache_dir
+        super().__init__(cache_dir, (n_patches, dim))
         self.n_patches = n_patches
         self.dim = dim
-        os.makedirs(cache_dir, exist_ok=True)
-
-    def _path(self, key: str) -> str:
-        h = hashlib.sha1(key.encode()).hexdigest()
-        return os.path.join(self.cache_dir, h[:2], f"{h}.npy")
-
-    def has(self, key: str) -> bool:
-        return os.path.exists(self._path(key))
-
-    def load(self, key: str) -> np.ndarray:
-        """-> bf16 [n_patches, dim] (f32 under the ml_dtypes-less fallback)."""
-        arr = np.load(self._path(key))
-        return arr.view(_BF16) if arr.dtype == np.uint16 else arr
-
-    def save(self, key: str, feats: np.ndarray) -> None:
-        path = self._path(key)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        if _BF16 is np.float32:  # ml_dtypes unavailable: store f32 natively
-            arr = np.asarray(feats, np.float32)
-        else:
-            arr = np.asarray(feats).astype(_BF16).view(np.uint16)
-        if arr.shape != (self.n_patches, self.dim):
-            raise ValueError(f"feature shape {arr.shape} != ({self.n_patches}, {self.dim})")
-        tmp = f"{path}.{os.getpid()}.tmp.npy"
-        with open(tmp, "wb") as f:
-            np.save(f, arr)
-        os.replace(tmp, path)
 
 
 def leaf_datasets(dataset) -> List:
@@ -108,6 +76,12 @@ def prime_vision_cache(
 
     if dtype is None:
         dtype = jnp.bfloat16
+    # staleness guard BEFORE the membership scan: features are a function of
+    # the frozen tower weights; a dir primed by different weights (same
+    # output_dir, new pretrained base) is wiped and re-primed
+    from mafed_tpu.data.diskcache import params_fingerprint
+
+    cache.set_fingerprint("vision:" + params_fingerprint({"vision": frozen_params["vision"]}))
     # gather unique uncached keys -> a loader closure per key
     jobs: Dict[str, Tuple] = {}
     for ds in datasets:

@@ -114,12 +114,9 @@ class VQADataset:
 
     def __getitem__(self, index: int) -> Dict:
         ex = self.store[index]
-        if self.vision_cache is not None and self.vision_cache.has(self.image_key(index)):
-            pixels = None
-            patches = self.vision_cache.load(self.image_key(index))
-        else:
-            pixels = self._load_pixels(ex["img_fname"], index)
-            patches = None
+        # single key resolve + single filesystem round-trip on the hot path
+        patches = self.vision_cache.load(self.image_key(index)) if self.vision_cache is not None else None
+        pixels = None if patches is not None else self._load_pixels(ex["img_fname"], index)
         question = format_text(ex["question"])
         answers = [normalize_answer(a["answer"]) for a in ex.get("answers", [])]
         answer = format_text(normalize_answer(ex.get("multiple_choice_answer", "")), capitalize=False)

@@ -21,6 +21,31 @@ from mafed_tpu.evaluation.vqa_metrics import VQAGenerativeAccuracy, normalize_an
 _DECODE_KEYS = ("input_ids", "attention_mask", "pixels", "patches")
 
 
+def localize_params(params, sharding):
+    """Re-place a (possibly globally-sharded) param tree onto a PROCESS-LOCAL
+    sharding — the step before any per-process, non-collective dispatch
+    (multi-process eval decode, teacher-cache priming). Valid only for
+    DP-replicated params: TP-sharded leaves are not addressable from one
+    process and fail with the actual constraint instead of a mid-run
+    np.asarray crash."""
+    import jax
+
+    def _localize(x):
+        try:
+            return jax.device_put(x, sharding)
+        except (ValueError, RuntimeError):
+            pass
+        if hasattr(x, "is_fully_replicated") and not x.is_fully_replicated:
+            raise NotImplementedError(
+                "multi-process per-host dispatch needs DP-replicated params; "
+                "tensor-parallel sharded params cannot be localized "
+                "per-process (run with model axis 1)"
+            )
+        return jax.device_put(np.asarray(x), sharding)
+
+    return jax.tree.map(_localize, params)
+
+
 def _pad_batch(batch: Dict, batch_size: int) -> Tuple[Dict, int]:
     n = batch["input_ids"].shape[0]
     if n == batch_size:
@@ -60,24 +85,7 @@ def validate_vqa(
     import jax
 
     if param_sharding is not None:
-        def _localize(x):
-            try:
-                return jax.device_put(x, param_sharding)
-            except (ValueError, RuntimeError):
-                pass
-            # cross-sharding transfer refused: go through the host — valid
-            # only for fully-replicated (DP) params; TP-sharded params are
-            # not addressable from one process, so fail with the actual
-            # constraint instead of a mid-fit np.asarray crash
-            if hasattr(x, "is_fully_replicated") and not x.is_fully_replicated:
-                raise NotImplementedError(
-                    "multi-process eval needs DP-replicated params; "
-                    "tensor-parallel sharded params cannot be localized "
-                    "per-process (run eval with model axis 1)"
-                )
-            return jax.device_put(np.asarray(x), param_sharding)
-
-        params = jax.tree.map(_localize, params)
+        params = localize_params(params, param_sharding)
 
     n_ex = 0
     start = time.time()

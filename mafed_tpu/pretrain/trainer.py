@@ -147,8 +147,13 @@ class PretrainTrainer:
             "batch_idx": batch_idx,
             "rng_state": rng.bit_generator.state,
         }
-        with open(os.path.join(path, "trainer_state.json"), "w") as f:
+        # atomic commit marker (written last): a kill mid-save must leave
+        # either no trainer_state.json (checkpoint ignored) or a complete one
+        meta_path = os.path.join(path, "trainer_state.json")
+        tmp = f"{meta_path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f, default=str)
+        os.replace(tmp, meta_path)
         self._prune_checkpoints()
         return path
 

@@ -156,6 +156,12 @@ class ContinualLearningTrainer:
         # device-resident once: host numpy params (the reloaded best
         # checkpoint) would re-transfer the full model on every decode call
         params = self.runner.place_params(params)
+        if self.runner.eval_param_sharding is not None:
+            # localize ONCE for the whole eval round — per-call localization
+            # inside validate_vqa would re-copy the full model n_tasks times
+            from mafed_tpu.evaluation.validate import localize_params
+
+            params = localize_params(params, self.runner.eval_param_sharding)
         for val_task_id, val_task in enumerate(self.config.tasks):
             LOGGER.info(val_task)
             val_log, _ = validate_vqa(
@@ -166,7 +172,7 @@ class ContinualLearningTrainer:
                 self.config.val_batch_size,
                 max_batches=self.config.val_max_batches,
                 sharding=self.runner.eval_sharding,
-                param_sharding=self.runner.eval_param_sharding,
+                param_sharding=None,
             )
             accuracy[val_task_id, task_id] = val_log["valid/acc"]
 

@@ -415,8 +415,16 @@ class TaskRunner:
         self._ckptr.save(opt_path, state.opt_state)
         self._ckptr.wait_until_finished()
         if main:
-            with open(os.path.join(resume_dir, "fit_state.json"), "w") as f:
+            # meta is the COMMIT MARKER for the whole bundle (it is written
+            # last, after model/opt_state): make it atomic so a kill mid-save
+            # leaves the previous self-consistent bundle, never a truncated
+            # JSON (restart crash loop) or new-state/old-meta skew (epoch
+            # batches silently re-applied on resume)
+            meta_path = os.path.join(resume_dir, "fit_state.json")
+            tmp = f"{meta_path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
                 json.dump(meta, f)
+            os.replace(tmp, meta_path)
 
     def _load_resume_bundle(self, resume_dir: str, state: TrainState):
         import json
@@ -430,6 +438,11 @@ class TaskRunner:
             meta = json.load(f)
         params = load_task_checkpoint(os.path.join(resume_dir, "model.safetensors"), self.model_cfg)
         trainable, _ = split_params(params)
+        # same placement as init_state: device-resident, and on pods the
+        # configured GLOBAL layout — host numpy here would re-ship the model
+        # through jit on the first post-resume step, and a replicated tree
+        # would mismatch the orbax-restored opt_state's TP-sharded layout
+        trainable = self.place_params(trainable)
         ckptr = ocp.StandardCheckpointer()
         opt_state = ckptr.restore(os.path.abspath(os.path.join(resume_dir, "opt_state")), state.opt_state)
         best_trainable = None

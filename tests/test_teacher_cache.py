@@ -57,35 +57,85 @@ def test_view_attaches_states(tmp_path):
     assert "t_hs" not in view[1]  # miss stays absent (collate hard-fails on mixes)
 
 
+def _counting_dataset(loads, qids=("q0", "q1", "q2")):
+    class Counting:
+        def __len__(self):
+            return len(qids)
+
+        def __getitem__(self, i):
+            loads.append(i)
+            return {"question_id": qids[i]}
+
+        def question_id(self, i):
+            return qids[i]
+
+    return Counting()
+
+
 def test_membership_scan_is_metadata_only(tmp_path):
     """prime_teacher_cache's cache-hit scan must read question ids via the
     metadata-only accessor — a fully-primed memory set of N examples must not
     pay N image loads per task transition (vqa_dataset.question_id_of)."""
-    from mafed_tpu.data.teacher_cache import prime_teacher_cache
+    from mafed_tpu.data.teacher_cache import prime_teacher_cache, teacher_fingerprint
     from mafed_tpu.data.vqa_dataset import Subset, question_id_of
 
     loads = []
-
-    class Counting:
-        def __len__(self):
-            return 3
-
-        def __getitem__(self, i):
-            loads.append(i)
-            return {"question_id": f"q{i}"}
-
-        def question_id(self, i):
-            return f"q{i}"
-
     cache = TeacherStateCache(str(tmp_path), generation=0, n_states=2, seq_len=4, hidden=3)
+    cache.set_fingerprint(teacher_fingerprint(None, None))  # this run's teacher
     for i in range(3):
         cache.save(f"q{i}", np.zeros((2, 4, 3), np.float32))
     n = prime_teacher_cache(
-        cache, Subset(Counting(), [0, 1, 2]), None, None, None,
+        cache, Subset(_counting_dataset(loads), [0, 1, 2]), None, None, None,
         collate=None, deepest_tap=1,
     )
     assert n == 0 and loads == []
-    assert question_id_of(Counting(), 1) == "q1"
+    assert question_id_of(_counting_dataset([]), 1) == "q1"
+
+
+def test_stale_fingerprint_wipes_cache(tmp_path):
+    """A cache dir primed by DIFFERENT params (previous run, same output_dir)
+    must be wiped, not served (diskcache.set_fingerprint)."""
+    cache = TeacherStateCache(str(tmp_path), generation=0, n_states=2, seq_len=4, hidden=3)
+    cache.set_fingerprint("teacher:run-A")
+    cache.save("q0", np.ones((2, 4, 3), np.float32))
+    assert cache.has("q0")
+    # same params: stamp is idempotent, entries survive
+    assert cache.set_fingerprint("teacher:run-A") is False and cache.has("q0")
+    # different params (fresh run in the same output_dir): wiped
+    assert cache.set_fingerprint("teacher:run-B") is True and not cache.has("q0")
+    # legacy unstamped dir with entries: also wiped
+    cache.save("q1", np.ones((2, 4, 3), np.float32))
+    os.remove(os.path.join(cache.cache_dir, "fingerprint.json"))
+    assert cache.set_fingerprint("teacher:run-B") is True and not cache.has("q1")
+
+
+def test_params_fingerprint_tracks_content():
+    from mafed_tpu.data.diskcache import params_fingerprint
+
+    a = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    b = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    assert params_fingerprint(a) == params_fingerprint(b)
+    b["w"] = b["w"] + 1e-3
+    assert params_fingerprint(a) != params_fingerprint(b)
+    assert params_fingerprint({"w": a["w"].reshape(3, 2)}) != params_fingerprint(a)
+
+
+def test_priming_rejects_missing_or_duplicate_qids(tmp_path):
+    """Without unique ids every example would collapse onto shared cache
+    entries — priming must hard-fail, not silently mis-serve states."""
+    from mafed_tpu.data.teacher_cache import prime_teacher_cache
+
+    cache = TeacherStateCache(str(tmp_path), generation=0, n_states=2, seq_len=4, hidden=3)
+    with pytest.raises(ValueError, match="question_id"):
+        prime_teacher_cache(
+            cache, _counting_dataset([], qids=("q0", None, "q2")), None, None, None,
+            collate=None, deepest_tap=1,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        prime_teacher_cache(
+            cache, _counting_dataset([], qids=("q0", "q1", "q0")), None, None, None,
+            collate=None, deepest_tap=1,
+        )
 
 
 def test_distill_step_cached_teacher_matches_in_step():
