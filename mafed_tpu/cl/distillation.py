@@ -126,6 +126,7 @@ class FeatureDistillation(CLStrategy):
             TeacherStateCache,
             TeacherStateView,
             prime_teacher_cache,
+            teacher_seq_len,
         )
 
         cfg = self.config
@@ -134,7 +135,7 @@ class FeatureDistillation(CLStrategy):
         deepest_tap = max(self.layers) if self.layers else 0
         if cfg.distillation_coeff == 0 or not self.layers:
             return mem_dataset  # pure-replay ablation: teacher never read
-        seq_len = self.model_cfg.vision.num_patches + runner.train_text_len
+        seq_len = teacher_seq_len(self.model_cfg, runner.train_text_len)
         cache = TeacherStateCache(
             getattr(cfg, "teacher_cache_dir", None) or os.path.join(cfg.output_dir, "teacher_cache"),
             generation=self.task_id,

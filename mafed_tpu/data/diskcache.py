@@ -50,13 +50,23 @@ class ArrayDiskCache:
 
     def load(self, key: str) -> Optional[np.ndarray]:
         """-> bf16 array of expected_shape (f32 under the ml_dtypes-less
-        fallback), or None on miss."""
+        fallback), or None on miss / shape mismatch (callers recompute)."""
         path = self._path(key)
         try:
             arr = np.load(path)
         except FileNotFoundError:
             return None
-        return arr.view(_BF16) if arr.dtype == np.uint16 else arr
+        if arr.dtype == np.uint16:
+            if _BF16 is np.float32:
+                # entry written WITH ml_dtypes, read without: widen the bf16
+                # bit pattern to f32 exactly (a raw .view(f32) would pair
+                # adjacent uint16s into garbage at half the last dim)
+                arr = (arr.astype(np.uint32) << 16).view(np.float32)
+            else:
+                arr = arr.view(_BF16)
+        if tuple(arr.shape) != self.expected_shape:
+            return None  # stale layout (shape is part of the stamp; belt+braces)
+        return arr
 
     def save(self, key: str, arr: np.ndarray) -> None:
         if tuple(arr.shape) != self.expected_shape:
@@ -82,6 +92,11 @@ class ArrayDiskCache:
         from the same (replicated) params, so concurrent calls converge; the
         stamp write is atomic and priming happens only afterwards.
         """
+        # the stored arrays' layout is part of the cache's identity: the same
+        # weights under a different config (select_feature patch -> cls_patch,
+        # a different text pad) produce differently-shaped entries that must
+        # not be served either
+        fingerprint = f"{fingerprint}|shape={self.expected_shape}"
         stamp_path = os.path.join(self.cache_dir, _FINGERPRINT_FILE)
         current = None
         try:
@@ -103,6 +118,29 @@ class ArrayDiskCache:
                 json.dump({"fingerprint": fingerprint}, f)
             os.replace(tmp, stamp_path)
         return wiped
+
+
+def set_fingerprint_coordinated(cache: ArrayDiskCache, fingerprint: str) -> bool:
+    """Multi-process-safe set_fingerprint over a SHARED cache dir.
+
+    A stale dir must be wiped by exactly one process: concurrent rmtrees can
+    delete a peer's freshly-created shard directory between its makedirs and
+    os.replace, crashing priming. Process 0 stamps (wiping if stale), everyone
+    barriers, then the rest stamp idempotently (same fingerprint -> no wipe).
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return cache.set_fingerprint(fingerprint)
+    from jax.experimental import multihost_utils
+
+    wiped = False
+    if jax.process_index() == 0:
+        wiped = cache.set_fingerprint(fingerprint)
+    multihost_utils.sync_global_devices(f"diskcache_stamp:{os.path.basename(cache.cache_dir)}")
+    if jax.process_index() != 0:
+        cache.set_fingerprint(fingerprint)
+    return wiped
 
 
 def params_fingerprint(tree) -> str:

@@ -44,16 +44,23 @@ class DevicePrefetcher:
 
     def __iter__(self) -> Iterator[Dict]:
         it = iter(self.iterable)
-        buf = collections.deque()
         try:
-            for _ in range(self.depth):
-                buf.append(self._put(next(it)))
-        except StopIteration:
-            pass
-        while buf:
-            out = buf.popleft()
+            buf = collections.deque()
             try:
-                buf.append(self._put(next(it)))
+                for _ in range(self.depth):
+                    buf.append(self._put(next(it)))
             except StopIteration:
                 pass
-            yield out
+            while buf:
+                out = buf.popleft()
+                try:
+                    buf.append(self._put(next(it)))
+                except StopIteration:
+                    pass
+                yield out
+        finally:
+            # propagate early termination (close/GeneratorExit) upstream so
+            # the BatchLoader producer thread unblocks and exits
+            close = getattr(it, "close", None)
+            if close:
+                close()

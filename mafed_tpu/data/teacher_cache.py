@@ -106,6 +106,14 @@ class TeacherStateView:
         return question_id_of(self.dataset, index)
 
 
+def teacher_seq_len(model_cfg, text_len: int) -> int:
+    """Hidden-state sequence length of the VL forward whose taps we cache:
+    vision tokens (num_patches, +1 CLS unless select_feature == "patch",
+    mirroring vl_pythia.get_patch_embeddings) ++ text tokens."""
+    n_vis = model_cfg.vision.num_patches + (0 if model_cfg.select_feature == "patch" else 1)
+    return n_vis + text_len
+
+
 def teacher_fingerprint(teacher_trainable, frozen) -> str:
     """Digest binding a cache generation to the exact teacher (trainable copy
     + frozen tower/embeddings) whose states it holds."""
@@ -140,8 +148,11 @@ def prime_teacher_cache(
     # staleness guard BEFORE the membership scan: cached states are a
     # function of the teacher params; a generation dir primed by a previous
     # run's teacher (same output_dir, same task index, different weights)
-    # is wiped and re-primed
-    cache.set_fingerprint(teacher_fingerprint(teacher_trainable, frozen))
+    # is wiped and re-primed. Coordinated: exactly one process wipes
+    # (diskcache.set_fingerprint_coordinated).
+    from mafed_tpu.data.diskcache import set_fingerprint_coordinated
+
+    set_fingerprint_coordinated(cache, teacher_fingerprint(teacher_trainable, frozen))
 
     todo: List[int] = []
     qids: List = []

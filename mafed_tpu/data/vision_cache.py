@@ -76,12 +76,38 @@ def prime_vision_cache(
 
     if dtype is None:
         dtype = jnp.bfloat16
+    # Canonicalize the tower to the COMPUTE dtype before fingerprinting and
+    # computing: startup priming receives the f32 checkpoint tree while task
+    # transitions receive state.frozen already cast to bf16 (runner.init_state)
+    # — fingerprinting the raw leaves would read those as different weights
+    # and wipe the warm cache at every task transition. Casting first makes
+    # the fingerprint AND the stored features bit-identical across both
+    # entry points (the in-step path consumes the bf16 tree).
+    vision_tree = {"vision": frozen_params["vision"]}
+    if jax.process_count() > 1:
+        # priming dispatch is per-process (each process fills the shared dir
+        # independently); globally-sharded frozen params must come down to a
+        # process-local placement first
+        from mafed_tpu.evaluation.validate import localize_params
+
+        vision_tree = localize_params(
+            vision_tree, jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        )
+
+    @jax.jit
+    def _canonical(t):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+        )
+
+    vision_tree = _canonical(jax.tree.map(jnp.asarray, vision_tree))
+
     # staleness guard BEFORE the membership scan: features are a function of
     # the frozen tower weights; a dir primed by different weights (same
     # output_dir, new pretrained base) is wiped and re-primed
-    from mafed_tpu.data.diskcache import params_fingerprint
+    from mafed_tpu.data.diskcache import params_fingerprint, set_fingerprint_coordinated
 
-    cache.set_fingerprint("vision:" + params_fingerprint({"vision": frozen_params["vision"]}))
+    set_fingerprint_coordinated(cache, "vision:" + params_fingerprint(vision_tree))
     # gather unique uncached keys -> a loader closure per key
     jobs: Dict[str, Tuple] = {}
     for ds in datasets:
@@ -95,10 +121,10 @@ def prime_vision_cache(
     if not jobs:
         return 0
 
-    # ON DEVICE once: frozen_params usually arrive as host numpy (a loaded
-    # checkpoint); jit re-uploads numpy ARGUMENTS on every dispatch, which
-    # would re-ship the ~600MB tower once per chunk below
-    params = jax.device_put({"vision": frozen_params["vision"]})
+    # already ON DEVICE (the canonical cast above ran under jit): jit
+    # re-uploads numpy ARGUMENTS on every dispatch, which would re-ship the
+    # tower once per chunk below — and the bf16 cast halves that footprint
+    params = vision_tree
     normalize = make_normalizer(model_cfg.vision)
 
     # params must be an ARGUMENT of the jitted fn: closure-captured device

@@ -215,6 +215,21 @@ class ContinualLearningTrainer:
         n_tasks = len(cfg.tasks)
         accuracy = np.zeros((n_tasks, n_tasks))
 
+        # Restart-with-the-same-command resume (cooperative preemption): a
+        # resume bundle names the ONE task it belongs to. Tasks before it
+        # already completed in the preempted run (their best checkpoints are
+        # on disk) — retraining them would both redo the work and clobber the
+        # bundle at the first epoch-end save, losing the preserved mid-task
+        # progress.
+        resume_task = -1
+        if cfg.resume_from_checkpoint:
+            fit_state = os.path.join(cfg.output_dir, "resume", "fit_state.json")
+            if os.path.exists(fit_state):
+                import json
+
+                with open(fit_state) as f:
+                    resume_task = int(json.load(f).get("task_id", -1))
+
         for task_id, task in enumerate(cfg.tasks):
             LOGGER.info("Task %d: %s", task_id, task)
             train_dataset = prepare_train_dataset(
@@ -224,7 +239,15 @@ class ContinualLearningTrainer:
             self._prime_vision_cache(params, [train_dataset])
             best_path = self._prev_best_path(task_id, task)
 
-            if task_id >= cfg.start_task_idx:
+            train_this = task_id >= cfg.start_task_idx
+            if train_this and task_id < resume_task and os.path.exists(best_path):
+                LOGGER.info(
+                    "task %d finished before the resume bundle (task %d): "
+                    "loading %s instead of retraining", task_id, resume_task, best_path,
+                )
+                train_this = False
+
+            if train_this:
                 trainable, _ = split_params(params)
                 self.runner.setup_task_optimizer(len(train_dataset), trainable, strategy=strategy)
                 state = self.runner.init_state(params)

@@ -90,7 +90,13 @@ class TaskRunner:
                     local_mesh, jax.sharding.PartitionSpec()
                 )
             else:
-                self.eval_sharding = None
+                # one addressable device (or an indivisible val batch):
+                # decode on a single local device. Params must STILL be
+                # localized — dispatching per-process decode on globally-
+                # sharded params would be a collective over UNEQUAL per-host
+                # batch counts (deadlock)
+                self.eval_sharding = jax.sharding.SingleDeviceSharding(local[0])
+                self.eval_param_sharding = jax.sharding.SingleDeviceSharding(local[0])
 
         self.decoder = make_greedy_decoder(
             model_cfg,
@@ -375,7 +381,6 @@ class TaskRunner:
         host-side artifacts (safetensors, fit_state.json) are rank-0 gated;
         params are DP-replicated so rank 0 can materialize them.
         """
-        import json
         import shutil
 
         import orbax.checkpoint as ocp
@@ -427,8 +432,6 @@ class TaskRunner:
             os.replace(tmp, meta_path)
 
     def _load_resume_bundle(self, resume_dir: str, state: TrainState):
-        import json
-
         import orbax.checkpoint as ocp
 
         from mafed_tpu.training.train_state import split_params
@@ -523,13 +526,15 @@ class TaskRunner:
             for ep, group in itertools.groupby(carry, key=lambda p: p[0]):
                 idxs = [p[1] for p in group]
                 loader.set_epoch(int(ep), start_batch=int(idxs[0]))
-                refill = self.fit_batches(loader)
+                # iter() materializes the generator so it can be CLOSED
+                # deterministically (fit_batches may return a DevicePrefetcher
+                # iterable; abandoning an un-closed stream would leave the
+                # BatchLoader producer thread blocked on its full queue)
+                refill = iter(self.fit_batches(loader))
                 for i, b in zip(idxs, itertools.islice(refill, len(idxs))):
                     window_buf.append((i, b))
                     window_buf_meta.append((int(ep), int(i)))
-                close = getattr(refill, "close", None)
-                if close:
-                    close()
+                refill.close()
             LOGGER.info("restored %d carried microbatches", len(window_buf))
         for epoch in range(start_epoch, epochs):
             epoch_start = time.time()

@@ -242,3 +242,28 @@ def test_dp8_two_fit_steps_and_validate_match_single_device(eight_devices):
     assert n_1 == n_8 == 8
     assert all(abs(a - b) < 1e-4 for a, b in zip(losses_1, losses_8)), (losses_1, losses_8)
     assert abs(acc_1 - acc_8) < 1e-9
+
+
+def test_multiprocess_eval_sharding_never_none(monkeypatch):
+    """Under multi-process, per-process decode must ALWAYS get a process-local
+    (sharding, param_sharding) pair: a None pair would dispatch decode on
+    globally-sharded params — a collective over UNEQUAL per-host val batch
+    counts (deadlock). The single-local-device / indivisible-batch fallback is
+    a SingleDeviceSharding, not None."""
+    from helpers import tiny_model_cfg
+
+    from mafed_tpu.core.config import TrainConfig
+    from mafed_tpu.data.tokenizer import ByteTokenizer
+    from mafed_tpu.trainer.runner import TaskRunner
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # indivisible val batch (8 local CPU devices, batch 3) -> fallback branch
+    cfg = TrainConfig(batch_size=4, val_batch_size=3)
+    runner = TaskRunner(tiny_model_cfg(), cfg, ByteTokenizer(), mesh=None)
+    assert isinstance(runner.eval_sharding, jax.sharding.SingleDeviceSharding)
+    assert isinstance(runner.eval_param_sharding, jax.sharding.SingleDeviceSharding)
+    # divisible batch -> all local devices via a process-local mesh
+    cfg8 = TrainConfig(batch_size=4, val_batch_size=8)
+    runner8 = TaskRunner(tiny_model_cfg(), cfg8, ByteTokenizer(), mesh=None)
+    assert isinstance(runner8.eval_sharding, NamedSharding)
+    assert runner8.eval_param_sharding is not None

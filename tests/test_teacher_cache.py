@@ -109,6 +109,63 @@ def test_stale_fingerprint_wipes_cache(tmp_path):
     assert cache.set_fingerprint("teacher:run-B") is True and not cache.has("q1")
 
 
+def test_load_decodes_uint16_without_ml_dtypes(tmp_path, monkeypatch):
+    """An entry written WITH ml_dtypes (uint16-viewed bf16) read by an
+    environment without it must widen the bf16 bit pattern exactly — a raw
+    .view(float32) would pair adjacent uint16s into garbage at half the
+    last dim."""
+    import mafed_tpu.data.diskcache as dc
+
+    if dc._BF16 is np.float32:
+        pytest.skip("ml_dtypes unavailable; nothing stored as uint16")
+    cache = dc.ArrayDiskCache(str(tmp_path), (2, 3))
+    vals = np.asarray([[1.5, -2.0, 0.25], [3.0, 0.0, -0.5]], np.float32)  # bf16-exact
+    cache.save("k", vals)
+    monkeypatch.setattr(dc, "_BF16", np.float32)
+    out = cache.load("k")
+    assert out.shape == (2, 3) and out.dtype == np.float32
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_stamp_includes_shape(tmp_path):
+    """Same weights under a different layout (e.g. select_feature patch ->
+    cls_patch) produce differently-shaped entries: the shape is part of the
+    stamp, so the dir is wiped instead of serving wrong-shape arrays."""
+    from mafed_tpu.data.diskcache import ArrayDiskCache
+
+    a = ArrayDiskCache(str(tmp_path), (2, 3))
+    a.set_fingerprint("fp")
+    a.save("k", np.zeros((2, 3), np.float32))
+    b = ArrayDiskCache(str(tmp_path), (3, 3))
+    assert b.set_fingerprint("fp") is True  # same params, new shape -> wipe
+    assert not b.has("k")
+
+
+@pytest.mark.parametrize("select_feature", ["patch", "cls_patch"])
+def test_teacher_seq_len_matches_forward(select_feature):
+    """The cache's expected seq_len must equal the VL forward's hidden-state
+    length for BOTH projector input modes (cls_patch adds the CLS token)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from helpers import tiny_model_cfg
+    from mafed_tpu.data.teacher_cache import teacher_seq_len
+    from mafed_tpu.models import vl_pythia
+
+    model_cfg = dataclasses.replace(tiny_model_cfg(), select_feature=select_feature)
+    params = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(0))
+    text_len = 8
+    out = vl_pythia.forward(
+        params, model_cfg,
+        jnp.ones((1, text_len), jnp.int32),
+        jnp.zeros((1, 3, model_cfg.vision.img_size, model_cfg.vision.img_size), jnp.bfloat16),
+        jnp.ones((1, text_len), jnp.int32), None,
+        output_hidden_states=True, dtype=jnp.bfloat16, attn_impl="xla", need_logits=False,
+    )
+    assert out.hidden_states.shape[-2] == teacher_seq_len(model_cfg, text_len)
+
+
 def test_params_fingerprint_tracks_content():
     from mafed_tpu.data.diskcache import params_fingerprint
 

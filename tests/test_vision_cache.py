@@ -134,6 +134,35 @@ def test_prime_and_dataset_emit_patches(tmp_path):
     )
 
 
+def test_fingerprint_stable_across_param_dtype(tmp_path):
+    """Startup primes with the f32 checkpoint tree; task transitions re-prime
+    with state.frozen already cast to bf16 (runner.init_state). Both must
+    fingerprint identically — otherwise every task transition would WIPE the
+    warm cache, deleting the replay-memory features mid-run."""
+    from mafed_tpu.data.factory import prepare_train_dataset
+    from mafed_tpu.data.tokenizer import ByteTokenizer
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.training.train_state import split_params
+
+    model_cfg = tiny_model_cfg()
+    cfg = write_synthetic_vqa(str(tmp_path))
+    vis = model_cfg.vision
+    cache = VisionFeatureCache(str(tmp_path / "vc"), vis.num_patches, vis.embed_dim)
+    ds = prepare_train_dataset(cfg, "taskA", ByteTokenizer(), vis, synthetic_images=True, vision_cache=cache)
+    params = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(0))  # f32
+    _, frozen = split_params(params)
+    assert prime_vision_cache(cache, [ds], frozen, model_cfg, batch_size=8) == len(ds)
+
+    frozen_bf16 = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), frozen)
+    assert prime_vision_cache(cache, [ds], frozen_bf16, model_cfg, batch_size=8) == 0
+    assert cache.has(leaf_datasets(ds)[0].image_key(0))  # warm entries survived
+
+    # genuinely different weights DO wipe + recompute
+    params2 = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(1))
+    _, frozen2 = split_params(params2)
+    assert prime_vision_cache(cache, [ds], frozen2, model_cfg, batch_size=8) == len(ds)
+
+
 def test_image_key_distinguishes_same_fname_in_different_dirs(tmp_path):
     """Same-named files under different image_dirs must not share a cache
     key — a bare-filename key would silently serve one task's features for
