@@ -72,6 +72,12 @@ def main() -> None:
     cfg.mesh_shape = [-1, 1]
     cfg.fused_window = True
     cfg.resume_bundle_every = 1
+    # teacher-state cache ON: executes the multi-process priming path for
+    # real (params localized per-process before non-collective dispatch,
+    # coordinated staleness stamping, t_hs flowing through the per-process
+    # window shards) — pure work-removal, so equality with the
+    # single-process run still holds
+    cfg.teacher_state_cache = True
 
     trainer = ContinualLearningTrainer(cfg, model_cfg=tiny_model_cfg(), synthetic_images=True)
     assert trainer.is_main == (pid == 0)

@@ -93,6 +93,10 @@ def test_two_process_cl_run_matches_single_process(tmp_path):
     with open(os.path.join(out_mp, "log", "results.json")) as f:
         assert np.allclose(json.load(f)["accuracy_matrix"], a_mp0)
 
+    # the teacher-state cache primed (multi-process localize + coordinated
+    # stamp path executed, not just code-complete)
+    assert os.path.isdir(os.path.join(out_mp, "teacher_cache", "gen0"))
+
     # the resume bundle's orbax opt_state save was COLLECTIVE (every process
     # wrote its shards into the shared dir without deadlock) and the bundle
     # is complete
