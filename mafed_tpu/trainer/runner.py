@@ -35,6 +35,7 @@ from mafed_tpu.evaluation.decode import make_greedy_decoder
 from mafed_tpu.evaluation.validate import validate_vqa
 from mafed_tpu.optim.optimizer import build_optimizer, set_schedule
 from mafed_tpu.training.step import (
+    distillation_layers,
     make_adaptive_weights_fn,
     make_ce_window_step,
     make_distill_step,
@@ -104,6 +105,19 @@ class TaskRunner:
             attn_impl=attn_impl,
         )
         self.fisher_step = make_ewc_fisher_fn(model_cfg, config, attn_impl=attn_impl)
+        # tap layer ids for the per-layer distill-loss metric keys; only
+        # resolvable for distillation configs (the default 'single' strategy
+        # without a distillation_layer is a non-distill run)
+        try:
+            self._distill_layer_ids = tuple(
+                distillation_layers(
+                    config.distillation_layer_weighing_strategy,
+                    model_cfg.num_hidden_layers - 1,
+                    config.distillation_layer,
+                )
+            )
+        except ValueError:
+            self._distill_layer_ids = ()
         self._adaptive_fn = None
         # per-task compiled steps (schedule changes per task)
         self.ce_step: Optional[Callable] = None
@@ -599,13 +613,18 @@ class TaskRunner:
                     and global_step - last_logged >= self.config.log_every
                 ):
                     last_logged = global_step
-                    self.metrics.log_metrics(
-                        {
-                            f"task_{task_id}/train_loss": float(m["loss"]),
-                            f"task_{task_id}/grad_norm": float(m["grad_norm"]),
-                        },
-                        step=global_step,
-                    )
+                    payload = {
+                        f"task_{task_id}/train_loss": float(m["loss"]),
+                        f"task_{task_id}/grad_norm": float(m["grad_norm"]),
+                    }
+                    # per-tap distill losses at the log cadence (the
+                    # reference logs them per distill step,
+                    # distillation.py:165 — same keys, sampled)
+                    dl = m.get("distill_layer_losses")
+                    if dl is not None:
+                        for layer, v in zip(self._distill_layer_ids, np.asarray(dl)):
+                            payload[f"task_{task_id}/distill_loss_{layer}"] = float(v)
+                    self.metrics.log_metrics(payload, step=global_step)
             if profiling:
                 jax.profiler.stop_trace()
             # steps are dispatched asynchronously; without this sync the

@@ -309,9 +309,12 @@ def make_distill_loss_fn(
     """Build the fused student+teacher MAFED replay loss.
 
     Returns loss_fn(trainable, frozen, teacher_trainable, batch, lang_coeffs)
-    where lang_coeffs is a [num_distill_layers] array of language-modality
-    weights in [0,1] (from the balanced constant, the adaptive estimator, or —
-    for the 'equal' strategy — ignored in favor of in-graph token counts).
+    -> (loss, per_layer) where lang_coeffs is a [num_distill_layers] array of
+    language-modality weights in [0,1] (from the balanced constant, the
+    adaptive estimator, or — for the 'equal' strategy — ignored in favor of
+    in-graph token counts) and per_layer is the modality-weighted distill
+    loss per tap BEFORE layer coeffs (the quantity the reference logs as
+    task_{t}/distill_loss_{layer}, distillation.py:163-165).
     """
     dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else jnp.float32
     num_hl = model_cfg.num_hidden_layers - 1  # train.py:133
@@ -396,6 +399,7 @@ def make_distill_loss_fn(
             t_hs = jax.lax.stop_gradient(teacher.hidden_states)
 
         loss = jnp.zeros((), jnp.float32)
+        per_layer = jnp.zeros((len(layers_arr),), jnp.float32)
         if replay_coeff > 0 and student.loss is not None:
             loss = loss + replay_coeff * student.loss
 
@@ -434,7 +438,7 @@ def make_distill_loss_fn(
                 per_layer = lw * lang_l + vw * img_l
                 dloss = jnp.sum(layer_coeffs * distill_coeff * per_layer)
             loss = loss + dloss
-        return loss
+        return loss, per_layer
 
     return loss_fn
 
@@ -452,13 +456,19 @@ def make_distill_step(
     loss_fn = make_distill_loss_fn(model_cfg, train_cfg, attn_impl=attn_impl)
 
     def step(state: TrainState, teacher_trainable, batch, lang_coeffs):
-        loss, grads = jax.value_and_grad(loss_fn)(
+        (loss, per_layer), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.trainable, state.frozen, teacher_trainable, batch, lang_coeffs
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax_apply_updates(state.trainable, updates)
         new_state = TrainState(state.step + 1, trainable, state.frozen, opt_state)
-        return new_state, {"loss": loss, "grad_norm": _grad_norm_metric(grads, opt_state)}
+        return new_state, {
+            "loss": loss,
+            "grad_norm": _grad_norm_metric(grads, opt_state),
+            # modality-weighted per-tap distill losses (reference logs these
+            # as task_{t}/distill_loss_{layer}, distillation.py:165)
+            "distill_layer_losses": per_layer,
+        }
 
     donate_args = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
@@ -572,16 +582,16 @@ def make_mafed_window_step(
 
                 ce_loss_sum_s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), ce_batches)
                 ce_loss = ce_loss_sum_s / n_ce
-            d_loss = distill_loss_fn(
+            d_loss, per_layer = distill_loss_fn(
                 trainable, state.frozen, teacher_trainable, distill_batch,
                 lang_coeffs, distill_patches,
             )
             total = (n_ce * ce_loss + d_loss) / denom
-            return total, (ce_loss, d_loss)
+            return total, (ce_loss, d_loss, per_layer)
 
-        (loss, (ce_loss, d_loss)), grads = jax.value_and_grad(window_loss, has_aux=True)(
-            state.trainable
-        )
+        (loss, (ce_loss, d_loss, per_layer)), grads = jax.value_and_grad(
+            window_loss, has_aux=True
+        )(state.trainable)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax_apply_updates(state.trainable, updates)
@@ -591,6 +601,9 @@ def make_mafed_window_step(
             "ce_loss": ce_loss,
             "distill_loss": d_loss,
             "grad_norm": _grad_norm_metric(grads, opt_state),
+            # modality-weighted per-tap distill losses (reference logs these
+            # as task_{t}/distill_loss_{layer}, distillation.py:165)
+            "distill_layer_losses": per_layer,
         }
         return new_state, metrics
 

@@ -71,6 +71,11 @@ def test_distill_loss_zero_when_student_equals_teacher():
     step = make_distill_step(model_cfg, train_cfg, tx, attn_impl="xla", donate=False)
     _, m = step(state, trainable, batch, lang_coeffs)  # teacher == student
     assert abs(float(m["loss"])) < 1e-5
+    # per-tap distill losses (reference task_{t}/distill_loss_{layer},
+    # distillation.py:165): one per tap, all ~0 for an identical teacher
+    per_layer = np.asarray(m["distill_layer_losses"])
+    assert per_layer.shape == (model_cfg.num_hidden_layers - 1,)
+    assert np.all(np.abs(per_layer) < 1e-5)
 
 
 @pytest.mark.parametrize("fuse_ce_batch", [True, False])
@@ -136,3 +141,18 @@ def test_window_step_matches_multisteps_microbatches(fuse_ce_batch):
     assert max_diff < 5e-5, f"window step diverges from MultiSteps cadence: {max_diff}"
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["grad_norm"]) > 0
+    # per-tap losses (the fit loop logs them as task_{t}/distill_loss_{l}):
+    # one finite positive value per tap, and their layer-coeff-weighted sum
+    # is the distillation term of the distill-batch loss (which additionally
+    # carries the replay CE term, so it upper-bounds the sum)
+    from mafed_tpu.training.step import layer_coefficients
+
+    per_layer = np.asarray(metrics["distill_layer_losses"], np.float64)
+    assert per_layer.shape == (model_cfg.num_hidden_layers - 1,)
+    assert np.all(np.isfinite(per_layer)) and np.all(per_layer > 0)
+    coeffs = layer_coefficients(
+        train_cfg_w.distillation_layer_weighing_strategy,
+        train_cfg_w.distillation_layer_discount, per_layer.shape[0],
+    )
+    weighted = float(np.sum(coeffs * train_cfg_w.distillation_coeff * per_layer))
+    assert 0 < weighted < float(metrics["distill_loss"])
