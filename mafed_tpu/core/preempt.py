@@ -87,10 +87,17 @@ def sync_preemption_requested(step_id: int) -> bool:
 
     Single process: the local flag. Multi-process: all processes reach
     agreement through the coordination service — returns True on EVERY
-    process at the same step_id if ANY process saw the signal.
+    process at the same step_id if ANY process saw the signal. The
+    deterministic countdown (request_preemption_after) is globally
+    consistent by construction — every process arms the same count and
+    ticks the same update boundaries — so it short-circuits the sync
+    service (which only tracks real signals).
     """
     if jax.process_count() == 1:
         return preemption_requested()
+    with _lock:
+        if _TEST_COUNTDOWN is not None and _TEST_COUNTDOWN <= 0:
+            return True
     from jax.experimental import multihost_utils
 
     try:

@@ -376,6 +376,24 @@ class TaskRunner:
         frozen = self.place_params(frozen)
         opt_state = self.tx.init(trainable)
         opt_state = set_schedule(opt_state, *self._sched)
+        if self.mesh is not None:
+            # Normalize eager-created scalar leaves (clip grad_norm, Adam
+            # counters, ScheduleState) onto the GLOBAL replicated sharding.
+            # tx.init/set_schedule build them on the default device
+            # (SingleDeviceSharding, host-local under multi-process); jitted
+            # updates replace them with global outputs, but a collective
+            # orbax save or restore that happens BEFORE any post-(re)init
+            # update — resume templates, mid-epoch preemption bundles — would
+            # hit 'Cannot serialize host local jax.Array'.
+            rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+
+            def _globalize(x):
+                sh = getattr(x, "sharding", None)
+                if sh is None or isinstance(sh, jax.sharding.NamedSharding):
+                    return x
+                return jax.device_put(np.asarray(x), rep)
+
+            opt_state = jax.tree.map(_globalize, opt_state)
         frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
         return TrainState(jnp.zeros((), jnp.int32), trainable, frozen, opt_state)
 
@@ -416,6 +434,12 @@ class TaskRunner:
         # leaving fit_state.json/opt_state skewed for a whole epoch after a
         # crash. Bundles stay synchronous + self-consistent; the cost knob
         # is config.resume_bundle_every.
+        if os.environ.get("MAFED_DEBUG_BUNDLE_SHARDINGS"):
+            LOGGER.warning("bundle save meta=%s", {k: meta.get(k) for k in ("task_id", "epoch", "batches_done", "global_step")})
+            for path, leaf in jax.tree_util.tree_leaves_with_path(state.opt_state):
+                sh = getattr(leaf, "sharding", None)
+                if sh is not None and not isinstance(sh, jax.sharding.NamedSharding):
+                    LOGGER.warning("bundle leaf %s sharding=%r", jax.tree_util.keystr(path), sh)
         if self._ckptr is None:
             self._ckptr = ocp.StandardCheckpointer()
         if jax.process_count() > 1:

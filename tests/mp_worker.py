@@ -6,7 +6,10 @@ reduction) under `jax.distributed` with N processes x 2 virtual CPU devices
 each. With nproc=1 it is the single-process comparator on the same 4-device
 topology.
 
-argv: <process_id> <num_processes> <coordinator_port> <data_root> <out_tag>
+argv: <process_id> <num_processes> <coordinator_port> <data_root> <out_tag> [mode]
+mode: "none" (default) | "preempt:N" (raise cooperative preemption after N
+applied updates; exits 0 after the collective bundle save) | "resume"
+(restart with resume_from_checkpoint against the same output_dir)
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ import sys
 def main() -> None:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, root, out_tag = sys.argv[3], sys.argv[4], sys.argv[5]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "none"
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
@@ -79,9 +83,29 @@ def main() -> None:
     # single-process run still holds
     cfg.teacher_state_cache = True
 
+    if mode == "resume":
+        cfg.resume_from_checkpoint = os.path.join(cfg.output_dir, "resume")
+
     trainer = ContinualLearningTrainer(cfg, model_cfg=tiny_model_cfg(), synthetic_images=True)
     assert trainer.is_main == (pid == 0)
     assert (trainer.metrics is None) == (pid != 0)
+
+    if mode.startswith("preempt:"):
+        # deterministic stand-in for SIGTERM landing on every host: all
+        # processes flip after the same applied update, save the resume
+        # bundle COLLECTIVELY (orbax shard writes from each process), raise
+        from mafed_tpu.core import preempt
+
+        preempt.request_preemption_after(int(mode.split(":", 1)[1]))
+        try:
+            trainer.main()
+        except preempt.Preempted:
+            with open(os.path.join(root, f"worker_{out_tag}_{pid}.json"), "w") as f:
+                json.dump({"pid": pid, "preempted": True}, f)
+            print(f"worker {pid}/{nproc} preempted ok", flush=True)
+            return
+        raise AssertionError("preemption did not fire")
+
     result = trainer.main()
     # set during setup_task_optimizer: fused windows must stay ON under
     # multi-process (the single-controller restriction is lifted)

@@ -31,22 +31,22 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn(pid: int, nproc: int, port: int, root: str, tag: str) -> subprocess.Popen:
+def _spawn(pid: int, nproc: int, port: int, root: str, tag: str, mode: str = "none") -> subprocess.Popen:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     return subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
-         str(pid), str(nproc), str(port), root, tag],
+         str(pid), str(nproc), str(port), root, tag, mode],
         cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
 
 
-def _run_group(nproc: int, root: str, tag: str) -> list:
+def _run_group(nproc: int, root: str, tag: str, mode: str = "none") -> list:
     port = _free_port()
-    procs = [_spawn(i, nproc, port, root, tag) for i in range(nproc)]
+    procs = [_spawn(i, nproc, port, root, tag, mode) for i in range(nproc)]
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=900)
@@ -122,3 +122,44 @@ def test_two_process_cl_run_matches_single_process(tmp_path):
     for (s1, k1, v1), (s2, k2, v2) in zip(l_mp, l_sp):
         assert s1 == s2 and k1 == k2
         assert abs(v1 - v2) < 1e-3, (k1, s1, v1, v2)
+
+
+@pytest.mark.slow
+def test_two_process_preempt_and_restart_matches_uninterrupted(tmp_path):
+    """Cooperative preemption on a (virtual) 2-process pod: every process
+    flips after the same applied update, the mid-task resume bundle is saved
+    COLLECTIVELY (orbax opt_state shards from both processes), and a restart
+    with the SAME command auto-skips the completed task, restores the bundle
+    collectively, and finishes with results identical to an uninterrupted
+    2-process run."""
+    root = str(tmp_path)
+    write_synthetic_vqa(root)
+
+    ref = _run_group(2, root, "ref")
+
+    # preempt 4 applied updates in (task 0 takes 3: mid-task-1, epoch 0)
+    pre = _run_group(2, root, "pre", mode="preempt:4")
+    assert all(r.get("preempted") for r in pre)
+    out_pre = os.path.join(root, "pre")
+    resume = os.path.join(out_pre, "resume")
+    with open(os.path.join(resume, "fit_state.json")) as f:
+        meta = json.load(f)
+    assert meta["task_id"] == 1, meta
+    assert os.path.isdir(os.path.join(resume, "opt_state"))
+
+    res = _run_group(2, root, "pre", mode="resume")
+    np.testing.assert_allclose(
+        np.asarray(res[0]["accuracy_matrix"]),
+        np.asarray(ref[0]["accuracy_matrix"]),
+        atol=1e-5,
+    )
+
+    # final per-task checkpoints bit-identical to the uninterrupted pod run
+    from safetensors.numpy import load_file
+
+    for task in ("taskA", "taskB"):
+        a = load_file(os.path.join(root, "ref", "ckpt", f"{task}_best.safetensors"))
+        b = load_file(os.path.join(out_pre, "ckpt", f"{task}_best.safetensors"))
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{task}:{k}")
