@@ -54,6 +54,11 @@ def main() -> None:
     from mafed_tpu.core.dist import is_main_process, process_reduce_sum
     from mafed_tpu.trainer.continual import ContinualLearningTrainer
 
+    if mode == "tpstep":
+        _tp_step_probe(root, out_tag, pid, nproc)
+        print(f"worker {pid}/{nproc} tpstep ok", flush=True)
+        return
+
     # the host-scalar reduction used by validate_vqa (reference NCCL
     # all_reduce, eval_utils.py:135-138) — checked directly with known values
     red = process_reduce_sum(float(pid) + 1.0, 10.0)
@@ -126,6 +131,83 @@ def main() -> None:
             f,
         )
     print(f"worker {pid}/{nproc} ok", flush=True)
+
+
+def _tp_step_probe(root: str, out_tag: str, pid: int, nproc: int) -> None:
+    """dp x tp over PROCESSES: a (2, 2) mesh where the model axis lives
+    within each process's local devices and the data axis spans processes —
+    the realistic pod layout (TP rides intra-host ICI, DP crosses hosts).
+    Runs two fused MAFED windows + a collective orbax save/restore of the
+    TP-sharded opt_state; losses must equal the single-process run of the
+    SAME (2, 2) mesh program on 4 local devices."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from helpers import tiny_model_cfg
+
+    from __graft_entry__ import _example_batch
+    from mafed_tpu.core.config import TrainConfig
+    from mafed_tpu.core.mesh import batch_sharding, make_mesh, shard_params
+    from mafed_tpu.optim.optimizer import build_optimizer, set_schedule
+    from mafed_tpu.optim.sched import linear_warmup_schedule
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.training.step import make_mafed_window_step
+    from mafed_tpu.training.train_state import TrainState, split_params
+
+    mc = tiny_model_cfg()
+    cfg = TrainConfig(
+        batch_size=4, optim="adamw", weight_decay=0.01, grad_norm=2.0,
+        replay_coeff=1.0, distillation_coeff=1.0,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+    )
+    mesh = make_mesh((-1, 2), ("data", "model"))
+    assert mesh.devices.shape == (2, 2)
+    params = shard_params(vl_pythia.init_params(mc, jax.random.PRNGKey(0)), mesh)
+    tr, fz = split_params(params)
+    tx = build_optimizer(cfg, tr, linear_warmup_schedule(1e-3, 2, 10))
+    opt = set_schedule(tx.init(tr), 0, 0)
+    state = TrainState(jnp.zeros((), jnp.int32), tr, fz, opt)
+    teacher = jax.tree.map(lambda x: x.astype(jnp.bfloat16), tr)
+    wstep = make_mafed_window_step(mc, cfg, tx, n_ce=1, attn_impl="xla", donate=False)
+
+    bsh = batch_sharding(mesh)
+    wsh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+
+    def place(global_np, sharding, window: bool):
+        if nproc == 1:
+            return jax.device_put(global_np, sharding)
+        rows = slice(pid * 2, (pid + 1) * 2)
+        local = global_np[:, rows] if window else global_np[rows]
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    lang = jnp.full((mc.num_hidden_layers - 1,), 0.5, jnp.float32)
+    losses = []
+    for s in range(2):
+        ce_np = {k: v[None] for k, v in _example_batch(mc, 4, 12, seed=10 + s).items()}
+        db_np = _example_batch(mc, 4, 12, seed=20 + s)
+        ce = {k: place(v, wsh, True) for k, v in ce_np.items()}
+        db = {k: place(v, bsh, False) for k, v in db_np.items()}
+        state, m = wstep(state, teacher, ce, db, lang)
+        losses.append(float(m["loss"]))
+
+    # collective save + restore of the TP-sharded opt_state (every process
+    # writes/reads its addressable shards)
+    ckptr = ocp.StandardCheckpointer()
+    opt_dir = os.path.abspath(os.path.join(root, f"{out_tag}_opt_{nproc}"))
+    ckptr.save(opt_dir, state.opt_state)
+    ckptr.wait_until_finished()
+    restored = ckptr.restore(opt_dir, state.opt_state)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))),
+        state.opt_state, restored,
+    )
+    max_diff = max(jax.tree_util.tree_leaves(diffs))
+
+    with open(os.path.join(root, f"worker_{out_tag}_{pid}.json"), "w") as f:
+        json.dump({"pid": pid, "losses": losses, "opt_roundtrip_max_diff": max_diff}, f)
 
 
 if __name__ == "__main__":

@@ -163,3 +163,20 @@ def test_two_process_preempt_and_restart_matches_uninterrupted(tmp_path):
         assert a.keys() == b.keys()
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=f"{task}:{k}")
+
+
+@pytest.mark.slow
+def test_two_process_dp_tp_window_step_matches_single_process(tmp_path):
+    """TP across a process boundary: a (2 data, 2 model) mesh where the model
+    axis lives within each process and the data axis spans processes (the
+    realistic pod layout). Two fused MAFED windows plus a collective orbax
+    save/restore of the TP-SHARDED opt_state must reproduce the
+    single-process run of the same (2, 2) mesh program."""
+    root = str(tmp_path)
+    mp = _run_group(2, root, "tp", mode="tpstep")
+    sp = _run_group(1, root, "tps", mode="tpstep")
+
+    assert mp[0]["losses"] == mp[1]["losses"]  # both processes see the global loss
+    np.testing.assert_allclose(mp[0]["losses"], sp[0]["losses"], rtol=2e-5, atol=1e-6)
+    assert mp[0]["opt_roundtrip_max_diff"] == 0.0
+    assert sp[0]["opt_roundtrip_max_diff"] == 0.0
