@@ -538,6 +538,11 @@ class TaskRunner:
                 wait = meta["wait"]
                 global_step = meta["global_step"]
                 history = meta.get("history", [])
+                if self.metrics is not None and "metrics_offset" in meta:
+                    # restart-with-same-command: skipped (already-complete)
+                    # tasks never advance the cross-task wandb/JSONL step
+                    # offset, so restore the one the preempted run carried
+                    self.metrics.set_global_step_offset(int(meta["metrics_offset"]))
                 # the memory stream (ER/featdistill) is a seeded order too:
                 # fast-forward to the bundle's draw count so post-resume
                 # replay/distill batches match the uninterrupted run
@@ -617,6 +622,7 @@ class TaskRunner:
                             "wait": wait, "global_step": global_step,
                             "history": history,
                             "mem_draws": strategy.mem_draws,
+                            "metrics_offset": self.metrics.global_step_offset if self.metrics else 0,
                         },
                         best_trainable,
                     )
@@ -697,6 +703,7 @@ class TaskRunner:
                         "task_id": task_id, "epoch": epoch, "best_acc": best_acc,
                         "wait": wait, "global_step": global_step, "history": history,
                         "mem_draws": strategy.mem_draws,
+                        "metrics_offset": self.metrics.global_step_offset if self.metrics else 0,
                         # partial window carried into the next epoch: recorded
                         # as (epoch, batch_idx) pairs so resume can replay the
                         # exact microbatches from the seeded epoch orders

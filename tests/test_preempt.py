@@ -184,6 +184,22 @@ def test_preempt_resume_two_task_replay_matches_uninterrupted(tmp_path):
             final_a[key], final_b[key], err_msg=f"param {key} diverged after resume"
         )
 
+    # cross-task metric-step continuity: the restart skips task 0, so its
+    # wandb/JSONL offset must come from the bundle (metrics_offset) — task-1
+    # rows land on the same global axis as the uninterrupted run's
+    def steps_of(out_dir, key):
+        vals = set()
+        with open(os.path.join(out_dir, "log", "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if key in rec:
+                    vals.add(rec["_step"])
+        return vals
+
+    a_steps = steps_of(cfg_a.output_dir, "task_1/valid_acc")
+    b_steps = steps_of(cfg_b.output_dir, "task_1/valid_acc")
+    assert a_steps and a_steps <= b_steps, (a_steps, b_steps)
+
 
 @pytest.mark.slow
 def test_epoch_bundle_window_carry_resume_matches_uninterrupted(tmp_path):
