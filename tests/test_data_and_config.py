@@ -114,3 +114,33 @@ def test_model_config_from_reference_json(tmp_path):
     assert cfg.hidden_size == 1024
     assert cfg.rotary_ndims == int(64 * 0.25)
     assert cfg.vision.num_patches == 256
+
+
+@pytest.mark.parametrize(
+    "preset,json_name,target_params",
+    [("160m", "vlpythia-160m.json", 162e6), ("410m", "vlpythia-base.json", 405e6), ("1b", "vlpythia-1b.json", 1.01e9)],
+)
+def test_model_scale_configs(preset, json_name, target_params):
+    """The three reference scales (download_models.py:6-24, Pythia dims):
+    the shipped JSON config equals the code preset, and the DECODER param
+    count (shape-only, jax.eval_shape — no allocation) lands on the scale's
+    nameplate size."""
+    import os
+
+    import jax
+
+    from mafed_tpu.core.config import ModelConfig, model_config_for_preset
+    from mafed_tpu.models import vl_pythia
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_json = ModelConfig.from_json(os.path.join(repo, "config", json_name))
+    cfg_preset = model_config_for_preset(preset)
+    for f in ("hidden_size", "num_hidden_layers", "num_attention_heads", "intermediate_size", "vocab_size", "rotary_pct"):
+        assert getattr(cfg_json, f) == getattr(cfg_preset, f), f
+
+    shapes = jax.eval_shape(lambda k: vl_pythia.init_params(cfg_json, k), jax.random.PRNGKey(0))
+    n_decoder = sum(
+        int(np.prod(leaf.shape))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(shapes["decoder"])
+    ) + int(np.prod(shapes["embed_out"]["weight"].shape) if isinstance(shapes.get("embed_out"), dict) else 0)
+    assert abs(n_decoder - target_params) / target_params < 0.08, n_decoder
