@@ -92,3 +92,26 @@ def shard_params(params, mesh: Mesh):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def globalize_scalar_leaves(tree, mesh: Mesh):
+    """Re-place eager-created non-NamedSharding leaves (optimizer counters,
+    clip grad_norm, ScheduleState) onto the mesh's replicated sharding.
+
+    optax init / eager scalar construction lands on the default device
+    (SingleDeviceSharding — host-local under multi-process). Jitted updates
+    replace them with global outputs, but a COLLECTIVE orbax save or restore
+    that happens before any post-(re)init update — resume templates,
+    mid-epoch preemption bundles — raises 'Cannot serialize host local
+    jax.Array'. Values are deterministic across processes, so a replicated
+    device_put of the host value is safe.
+    """
+    rep = NamedSharding(mesh, P())
+
+    def _globalize(x):
+        sh = getattr(x, "sharding", None)
+        if sh is None or isinstance(sh, NamedSharding):
+            return x
+        return jax.device_put(np.asarray(x), rep)
+
+    return jax.tree.map(_globalize, tree)

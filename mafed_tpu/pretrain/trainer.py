@@ -66,6 +66,11 @@ class PretrainConfig:
     betas: tuple = (0.9, 0.999)
     run_name: str = "pretrain-vl-pythia"
     project_name: str = "cl-pretrain-vl-pythia"
+    # SPMD: (data, model) mesh built by the entry point over all devices;
+    # -1 infers the axis (core/mesh.make_mesh). The HF world_size batch
+    # scaling applies: global batch = per_device_train_batch_size x mesh size
+    mesh_shape: tuple = (-1, 1)
+    distributed_init: bool = False  # force jax.distributed.initialize()
 
 
 class PretrainTrainer:
@@ -77,29 +82,53 @@ class PretrainTrainer:
         eval_dataset=None,
         tokenizer=None,
         init_params: Optional[Dict[str, Any]] = None,
+        mesh=None,
     ) -> None:
+        """mesh: optional jax.sharding.Mesh for SPMD pretraining. HF Trainer
+        batch semantics are preserved (hf.py world_size scaling): the global
+        batch is per_device_train_batch_size x mesh size, sharded over the
+        'data' axis; params place per core/mesh.param_partition_spec (DP
+        replication, Megatron TP when the 'model' axis > 1). Multi-process
+        pods get per-host sharded loaders, rank-0 writer gating, and
+        collective opt-state checkpoints — same machinery as the CL runner."""
+        from mafed_tpu.core.dist import is_main_process, maybe_initialize_distributed
+
+        maybe_initialize_distributed(args)
         self.model_cfg = model_cfg
         self.args = args
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
         self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.is_main = is_main_process()
         os.makedirs(args.output_dir, exist_ok=True)
-        self.metrics = MetricsLogger(
-            project=args.project_name, name=args.run_name, output_dir=args.output_dir
+        self.metrics = (
+            MetricsLogger(project=args.project_name, name=args.run_name, output_dir=args.output_dir)
+            if self.is_main
+            else None
         )
         if init_params is None:
             init_params = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(args.seed))
+        if mesh is not None:
+            from mafed_tpu.core.mesh import batch_sharding, shard_params
+
+            init_params = shard_params(init_params, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self._batch_sharding = None
         self._params0 = init_params
 
+        n_dev = mesh.size if mesh is not None else 1
+        self.global_batch = args.per_device_train_batch_size * n_dev
         accum = max(1, args.gradient_accumulation_steps)
-        batches_per_epoch = len(train_dataset) // args.per_device_train_batch_size
+        batches_per_epoch = len(train_dataset) // self.global_batch
         self.steps_per_epoch = max(1, batches_per_epoch // accum)
         self.total_steps = self.steps_per_epoch * args.num_train_epochs
         warmup = int(args.warmup_ratio * self.total_steps)
         schedule = linear_warmup_schedule(args.learning_rate, warmup, self.total_steps)
 
         tcfg = TrainConfig(
-            batch_size=args.per_device_train_batch_size,
+            batch_size=self.global_batch,
             accumulate_grad_batches=accum,
             learning_rate=args.learning_rate,
             weight_decay=args.weight_decay,
@@ -129,32 +158,45 @@ class PretrainTrainer:
         return os.path.join(self.args.output_dir, f"checkpoint-{step}")
 
     def save_checkpoint(self, state: TrainState, tag, rng: np.random.Generator, epoch: int, batch_idx: int) -> str:
+        """COLLECTIVE on multi-process pods (every process writes its
+        opt_state shards); host-side artifacts (safetensors, meta, pruning)
+        are rank-0-gated — same pattern as the CL runner's resume bundles."""
         path = self._ckpt_dir(tag) if isinstance(tag, int) else os.path.join(self.args.output_dir, tag)
         os.makedirs(path, exist_ok=True)
-        params = merge_params(state.trainable, state.frozen)
-        save_task_checkpoint(params, self.model_cfg, os.path.join(path, "model.safetensors"))
+        if self.is_main:
+            params = merge_params(state.trainable, state.frozen)
+            save_task_checkpoint(params, self.model_cfg, os.path.join(path, "model.safetensors"))
         import orbax.checkpoint as ocp
 
         opt_path = os.path.abspath(os.path.join(path, "opt_state"))
-        if os.path.exists(opt_path):
+        if jax.process_count() > 1:
+            # rank 0 clears; everyone syncs; then all save (arrival skew must
+            # not let a late rank see a half-cleared dir)
+            if self.is_main and os.path.exists(opt_path):
+                shutil.rmtree(opt_path)
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("pretrain_ckpt_rmtree")
+        elif os.path.exists(opt_path):
             shutil.rmtree(opt_path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(opt_path, state.opt_state)
         ckptr.wait_until_finished()
-        meta = {
-            "step": int(state.step),
-            "epoch": epoch,
-            "batch_idx": batch_idx,
-            "rng_state": rng.bit_generator.state,
-        }
-        # atomic commit marker (written last): a kill mid-save must leave
-        # either no trainer_state.json (checkpoint ignored) or a complete one
-        meta_path = os.path.join(path, "trainer_state.json")
-        tmp = f"{meta_path}.{os.getpid()}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, default=str)
-        os.replace(tmp, meta_path)
-        self._prune_checkpoints()
+        if self.is_main:
+            meta = {
+                "step": int(state.step),
+                "epoch": epoch,
+                "batch_idx": batch_idx,
+                "rng_state": rng.bit_generator.state,
+            }
+            # atomic commit marker (written last): a kill mid-save must leave
+            # either no trainer_state.json (checkpoint ignored) or a complete one
+            meta_path = os.path.join(path, "trainer_state.json")
+            tmp = f"{meta_path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f, default=str)
+            os.replace(tmp, meta_path)
+            self._prune_checkpoints()
         return path
 
     def _prune_checkpoints(self) -> None:
@@ -168,6 +210,13 @@ class PretrainTrainer:
 
     def load_checkpoint(self, path: str, state: TrainState):
         params = load_task_checkpoint(os.path.join(path, "model.safetensors"), self.model_cfg)
+        if self.mesh is not None:
+            # same global layout as init: host numpy would re-ship the model
+            # through jit on the first post-resume step, and the restored
+            # opt_state's sharded layout must match
+            from mafed_tpu.core.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
         trainable, frozen = split_params(params)
         import orbax.checkpoint as ocp
 
@@ -180,19 +229,43 @@ class PretrainTrainer:
         new_state = TrainState(jnp.asarray(meta["step"], jnp.int32), trainable, state.frozen, opt_state)
         return new_state, meta
 
+    # -- loaders ---------------------------------------------------------------
+    def _loader(self, dataset, global_batch: int, text_len: int, shuffle: bool, seed: int = 0) -> BatchLoader:
+        """Per-host sharded loader: every process walks the same seeded order
+        and collates its interleaved slice of each GLOBAL batch; drop_last
+        keeps per-process batch counts equal (SPMD steps are collective)."""
+        n_proc = jax.process_count()
+        if global_batch % n_proc != 0:
+            raise ValueError(
+                f"global batch {global_batch} not divisible by {n_proc} processes"
+            )
+        return BatchLoader(
+            dataset,
+            batch_size=global_batch // n_proc,
+            collate=partial(collate_pretrain, text_len=text_len),
+            shuffle=shuffle,
+            seed=seed,
+            drop_last=True,
+            shard_id=jax.process_index(),
+            num_shards=n_proc,
+        )
+
+    def _batches(self, loader):
+        return DevicePrefetcher(loader, sharding=self._batch_sharding)
+
     # -- eval ------------------------------------------------------------------
     def evaluate(self, state: TrainState, text_len: int) -> float:
         if self.eval_dataset is None:
             return float("nan")
-        loader = BatchLoader(
-            self.eval_dataset,
-            batch_size=self.args.per_device_eval_batch_size,
-            collate=partial(collate_pretrain, text_len=text_len),
-            shuffle=False,
-            drop_last=True,
+        n_dev = self.mesh.size if self.mesh is not None else 1
+        loader = self._loader(
+            self.eval_dataset, self.args.per_device_eval_batch_size * n_dev,
+            text_len, shuffle=False,
         )
         losses = []
-        for batch in DevicePrefetcher(loader):
+        for batch in self._batches(loader):
+            # SPMD loss over the global sharded batch: identical scalar on
+            # every process — no extra reduction needed
             losses.append(float(self._eval_loss_fn(state.trainable, state.frozen, batch)))
         return float(np.mean(losses)) if losses else float("nan")
 
@@ -201,7 +274,14 @@ class PretrainTrainer:
         args = self.args
         text_len = args.model_max_length
         trainable, frozen = split_params(self._params0)
-        state = TrainState(jnp.zeros((), jnp.int32), trainable, jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen), self.tx.init(trainable))
+        opt_state = self.tx.init(trainable)
+        if self.mesh is not None:
+            # collective orbax saves/restores before any post-init update
+            # need globally-placed scalar leaves (core/mesh docstring)
+            from mafed_tpu.core.mesh import globalize_scalar_leaves
+
+            opt_state = globalize_scalar_leaves(opt_state, self.mesh)
+        state = TrainState(jnp.zeros((), jnp.int32), trainable, jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen), opt_state)
         rng = np.random.default_rng(args.seed)
         start_epoch, skip_batches = 0, 0
         if resume_from_checkpoint:
@@ -219,15 +299,10 @@ class PretrainTrainer:
 
         for epoch in range(start_epoch, args.num_train_epochs):
             seed = int(rng.integers(0, 2**31 - 1))
-            loader = BatchLoader(
-                self.train_dataset,
-                batch_size=args.per_device_train_batch_size,
-                collate=partial(collate_pretrain, text_len=text_len),
-                shuffle=True,
-                seed=seed,
-                drop_last=True,
+            loader = self._loader(
+                self.train_dataset, self.global_batch, text_len, shuffle=True, seed=seed
             )
-            for batch_idx, batch in enumerate(DevicePrefetcher(loader)):
+            for batch_idx, batch in enumerate(self._batches(loader)):
                 if epoch == start_epoch and batch_idx < skip_batches:
                     continue  # HF-style resume batch skipping
                 state, m = self.step_fn(state, batch)
@@ -235,11 +310,12 @@ class PretrainTrainer:
                 if not is_opt_step:
                     continue
                 opt_steps += 1
-                if opt_steps % args.logging_steps == 0:
+                if self.metrics is not None and opt_steps % args.logging_steps == 0:
                     self.metrics.log_metrics({"train/loss": float(m["loss"])}, step=opt_steps)
                 if opt_steps % eval_every == 0:
                     eval_loss = self.evaluate(state, text_len)
-                    self.metrics.log_metrics({"eval/loss": eval_loss}, step=opt_steps)
+                    if self.metrics is not None:
+                        self.metrics.log_metrics({"eval/loss": eval_loss}, step=opt_steps)
                     LOGGER.info("step %d eval loss %.4f", opt_steps, eval_loss)
                     if eval_loss < best_loss:
                         best_loss = eval_loss

@@ -74,7 +74,8 @@ def train(argv=None):
             if isinstance(default, bool):
                 parser.add_argument(f"--{f.name}", action="store_true", default=default)
             elif isinstance(default, tuple):
-                parser.add_argument(f"--{f.name}", nargs="+", type=float, default=list(default))
+                elem = int if all(isinstance(x, int) for x in default) else float
+                parser.add_argument(f"--{f.name}", nargs="+", type=elem, default=list(default))
             else:
                 parser.add_argument(f"--{f.name}", type=type(default) if default is not None else str, default=default)
     ns = parser.parse_args(argv)
@@ -87,6 +88,11 @@ def train(argv=None):
         return dc(**kwargs)
 
     model_args, data_args, train_args = pick(ModelArguments), pick(DataArguments), pick(PretrainConfig)
+
+    # must precede ANY jax computation (load_pretrained/init_params below)
+    from mafed_tpu.core.dist import maybe_initialize_distributed
+
+    maybe_initialize_distributed(train_args)
 
     if os.path.isdir(model_args.model_name):
         params, model_cfg = load_pretrained(model_args.model_name)
@@ -121,7 +127,12 @@ def train(argv=None):
         else None
     )
 
-    trainer = PretrainTrainer(model_cfg, train_args, train_ds, eval_ds, tokenizer, init_params=params)
+    from mafed_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh(tuple(train_args.mesh_shape), ("data", "model"))
+    trainer = PretrainTrainer(
+        model_cfg, train_args, train_ds, eval_ds, tokenizer, init_params=params, mesh=mesh
+    )
     return trainer.train()
 
 

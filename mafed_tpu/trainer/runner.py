@@ -377,23 +377,11 @@ class TaskRunner:
         opt_state = self.tx.init(trainable)
         opt_state = set_schedule(opt_state, *self._sched)
         if self.mesh is not None:
-            # Normalize eager-created scalar leaves (clip grad_norm, Adam
-            # counters, ScheduleState) onto the GLOBAL replicated sharding.
-            # tx.init/set_schedule build them on the default device
-            # (SingleDeviceSharding, host-local under multi-process); jitted
-            # updates replace them with global outputs, but a collective
-            # orbax save or restore that happens BEFORE any post-(re)init
-            # update — resume templates, mid-epoch preemption bundles — would
-            # hit 'Cannot serialize host local jax.Array'.
-            rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+            # see core/mesh.globalize_scalar_leaves: collective orbax
+            # saves/restores before any post-(re)init update need these
+            from mafed_tpu.core.mesh import globalize_scalar_leaves
 
-            def _globalize(x):
-                sh = getattr(x, "sharding", None)
-                if sh is None or isinstance(sh, jax.sharding.NamedSharding):
-                    return x
-                return jax.device_put(np.asarray(x), rep)
-
-            opt_state = jax.tree.map(_globalize, opt_state)
+            opt_state = globalize_scalar_leaves(opt_state, self.mesh)
         frozen = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
         return TrainState(jnp.zeros((), jnp.int32), trainable, frozen, opt_state)
 

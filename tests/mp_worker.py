@@ -58,6 +58,10 @@ def main() -> None:
         _tp_step_probe(root, out_tag, pid, nproc)
         print(f"worker {pid}/{nproc} tpstep ok", flush=True)
         return
+    if mode == "pretrain":
+        _pretrain_probe(root, out_tag, pid, nproc)
+        print(f"worker {pid}/{nproc} pretrain ok", flush=True)
+        return
 
     # the host-scalar reduction used by validate_vqa (reference NCCL
     # all_reduce, eval_utils.py:135-138) — checked directly with known values
@@ -131,6 +135,57 @@ def main() -> None:
             f,
         )
     print(f"worker {pid}/{nproc} ok", flush=True)
+
+
+def _pretrain_probe(root: str, out_tag: str, pid: int, nproc: int) -> None:
+    """SPMD captioning pretrain on a (virtual) pod: per-host sharded
+    loaders, dp4 mesh spanning the processes, collective orbax checkpoint
+    saves, rank-0 metrics/safetensors. Loss curve and checkpoint-final must
+    match the single-process run of the same 4-device mesh program."""
+    from helpers import tiny_model_cfg
+
+    from mafed_tpu.core.mesh import make_mesh
+    from mafed_tpu.data.tokenizer import ByteTokenizer
+    from mafed_tpu.pretrain.dataset import CaptionRecord, PretrainDataset
+    from mafed_tpu.pretrain.trainer import PretrainConfig, PretrainTrainer
+
+    mc = tiny_model_cfg()
+    tok = ByteTokenizer(model_max_length=32)
+
+    def ds(n, prefix):
+        recs = [
+            CaptionRecord(image=f"{prefix}{i}", caption=f"a photo of thing {i}", source="coco")
+            for i in range(n)
+        ]
+        return PretrainDataset(tok, mc.vision, records=recs, model_max_length=32, synthetic_images=True)
+
+    args = PretrainConfig(
+        output_dir=os.path.join(root, out_tag),
+        per_device_train_batch_size=2,  # global 8 over the 4-device mesh
+        per_device_eval_batch_size=2,
+        num_train_epochs=1,
+        learning_rate=1e-3,
+        save_steps=1.0,
+        eval_steps=0.5,
+        model_max_length=32,
+        logging_steps=1,
+    )
+    mesh = make_mesh((-1, 1), ("data", "model"))
+    trainer = PretrainTrainer(mc, args, ds(32, "tr"), ds(8, "ev"), tokenizer=tok, mesh=mesh)
+    assert (trainer.metrics is None) == (pid != 0)
+    trainer.train()
+
+    out = {"pid": pid, "is_main": trainer.is_main}
+    if trainer.is_main:
+        losses = []
+        with open(os.path.join(args.output_dir, "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "train/loss" in rec:
+                    losses.append(rec["train/loss"])
+        out["losses"] = losses
+    with open(os.path.join(root, f"worker_{out_tag}_{pid}.json"), "w") as f:
+        json.dump(out, f)
 
 
 def _tp_step_probe(root: str, out_tag: str, pid: int, nproc: int) -> None:

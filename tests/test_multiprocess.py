@@ -180,3 +180,30 @@ def test_two_process_dp_tp_window_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(mp[0]["losses"], sp[0]["losses"], rtol=2e-5, atol=1e-6)
     assert mp[0]["opt_roundtrip_max_diff"] == 0.0
     assert sp[0]["opt_roundtrip_max_diff"] == 0.0
+
+
+@pytest.mark.slow
+def test_two_process_pretrain_matches_single_process(tmp_path):
+    """SPMD captioning pretrain on a real 2-process pod (dp4 mesh spanning
+    the processes, per-host sharded loaders, COLLECTIVE orbax checkpoint
+    saves, rank-0 metrics): loss curve and checkpoint-final equal the
+    single-process run of the same 4-device mesh program."""
+    root = str(tmp_path)
+    mp = _run_group(2, root, "pmp", mode="pretrain")
+    sp = _run_group(1, root, "psp", mode="pretrain")
+
+    assert mp[0]["is_main"] and not mp[1]["is_main"]
+    assert len(mp[0]["losses"]) == len(sp[0]["losses"]) > 0
+    np.testing.assert_allclose(mp[0]["losses"], sp[0]["losses"], atol=1e-4)
+
+    from safetensors.numpy import load_file
+
+    a = load_file(os.path.join(root, "pmp", "checkpoint-final", "model.safetensors"))
+    b = load_file(os.path.join(root, "psp", "checkpoint-final", "model.safetensors"))
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(
+            a[k].astype(np.float32), b[k].astype(np.float32), atol=5e-3, err_msg=k
+        )
+    # collective opt_state checkpoint is complete
+    assert os.path.isdir(os.path.join(root, "pmp", "checkpoint-final", "opt_state"))

@@ -67,3 +67,57 @@ def test_pretrain_trainer_and_resume(tmp_path):
     trainer2 = PretrainTrainer(model_cfg, args, ds, eval_ds, tokenizer=ByteTokenizer())
     state2 = trainer2.train(resume_from_checkpoint=final)
     assert int(state2.step) >= int(state.step)
+
+
+@pytest.mark.slow
+def test_pretrain_dp8_matches_single_device(tmp_path):
+    """SPMD pretraining (HF world_size batch semantics): a dp8 mesh with
+    per_device_batch=1 and a single-device run with per_device_batch=8 train
+    on the SAME global batches — losses and the final checkpoint must match
+    (DP is a layout change only)."""
+    import jax
+
+    from mafed_tpu.core.mesh import make_mesh
+
+    ds, model_cfg = make_dataset(32)
+    eval_ds, _ = make_dataset(8)
+
+    def run(out, mesh, per_device):
+        args = PretrainConfig(
+            output_dir=str(tmp_path / out),
+            per_device_train_batch_size=per_device,
+            per_device_eval_batch_size=per_device,
+            num_train_epochs=1,
+            learning_rate=1e-3,
+            save_steps=1.0,
+            eval_steps=0.5,
+            model_max_length=32,
+            logging_steps=1,
+        )
+        trainer = PretrainTrainer(
+            model_cfg, args, ds, eval_ds, tokenizer=ByteTokenizer(), mesh=mesh
+        )
+        trainer.train()
+        with open(os.path.join(args.output_dir, "metrics.jsonl")) as f:
+            losses = [
+                json.loads(l)["train/loss"] for l in f if "train/loss" in json.loads(l)
+            ]
+        from safetensors.numpy import load_file
+
+        final = load_file(os.path.join(args.output_dir, "checkpoint-final", "model.safetensors"))
+        return losses, final
+
+    mesh8 = make_mesh((8, 1), ("data", "model"))
+    l_dp, f_dp = run("dp8", mesh8, per_device=1)
+    l_sd, f_sd = run("sd", None, per_device=8)
+    assert len(l_dp) == len(l_sd) > 0
+    np.testing.assert_allclose(l_dp, l_sd, atol=5e-4)
+    assert f_dp.keys() == f_sd.keys()
+    # Adam normalizes by sqrt(nu): early steps amplify the f32
+    # reduction-order difference between an 8-way psum and a single-device
+    # batch sum up to ~lr scale — equivalence is at optimizer-step
+    # granularity, not bitwise
+    for k in f_dp:
+        np.testing.assert_allclose(
+            f_dp[k].astype(np.float32), f_sd[k].astype(np.float32), atol=5e-3, err_msg=k
+        )
