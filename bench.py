@@ -126,6 +126,16 @@ def main() -> None:
         ce_stack["patches"] = jnp.stack([feats(vis_params, ce_px[i]) for i in range(n_ce)])
         jax.block_until_ready(ce_stack["patches"])
         print("vision features precomputed", file=sys.stderr, flush=True)
+    if os.environ.get("MAFED_BENCH_TEACHER", "uncached") == "cached" and "patches" not in batch:
+        # refuse to print a mislabeled number: the cached-teacher harness
+        # below consumes precomputed patch features, so combining it with
+        # MAFED_BENCH_VISION=uncached would silently measure the in-step-
+        # teacher workload under a "teacher cached" label
+        raise SystemExit(
+            "MAFED_BENCH_TEACHER=cached requires the vision-cached workload; "
+            "unset MAFED_BENCH_VISION (the trainer supports the combination, "
+            "this bench harness does not)"
+        )
     if os.environ.get("MAFED_BENCH_TEACHER", "uncached") == "cached" and "patches" in batch:
         # OPT-IN teacher-state cache (data/teacher_cache.py,
         # --teacher_state_cache): the frozen teacher's hidden states for the

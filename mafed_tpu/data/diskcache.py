@@ -143,6 +143,18 @@ def set_fingerprint_coordinated(cache: ArrayDiskCache, fingerprint: str) -> bool
     return wiped
 
 
+def shard_owner(key, n_shards: int) -> int:
+    """Stable owner process for a cache key (multi-process priming).
+
+    Pods shard priming work so each miss is computed by exactly ONE process.
+    Ownership must be a pure function of the KEY: partitioning by list
+    position would mis-cover when peers' atomic writes land mid-scan and
+    processes see differently-sized todo lists. Python's builtin hash() is
+    salted per process, so use sha1.
+    """
+    return int(hashlib.sha1(str(key).encode()).hexdigest()[:8], 16) % n_shards
+
+
 def params_fingerprint(tree) -> str:
     """Cheap content digest of a param pytree (host numpy or jax.Arrays).
 

@@ -24,8 +24,10 @@ canonical shapes. OPT-IN via --teacher_state_cache: the in-step
 early-exited teacher is only ~4% of the window, so the cache is a net win
 only on hosts with that bandwidth to spare (measured: integrated epochs
 collapse 12x through a ~30 MB/s transport — docs/ARCHITECTURE.md design
-decision 8). Writes are atomic; multi-process pods prime the shared
-directory convergently (benign races), same contract as the vision cache.
+decision 8). Writes are atomic; multi-process pods prime COOPERATIVELY —
+each miss is owned by exactly one process (stable key hash,
+diskcache.shard_owner) and an end-of-priming barrier orders priming before
+consumption, same contract as the vision cache.
 """
 
 from __future__ import annotations
@@ -134,8 +136,10 @@ def prime_teacher_cache(
 ) -> int:
     """Compute + store teacher hidden states for every uncached memory
     example. ONE jitted early-exit teacher forward per batch; the partial
-    final batch is padded to the compiled size. Returns examples computed.
-    Safe to re-run and safe under multi-process (atomic writes)."""
+    final batch is padded to the compiled size. Returns examples computed
+    BY THIS PROCESS. Safe to re-run; multi-process pods shard the work by
+    key ownership and barrier at the end (atomic writes converge the
+    shared dir)."""
     import jax
     import jax.numpy as jnp
 
@@ -144,6 +148,24 @@ def prime_teacher_cache(
     from mafed_tpu.training.train_state import merge_params
 
     from mafed_tpu.data.vqa_dataset import question_id_of
+
+    # Canonicalize to the compute dtype BEFORE fingerprinting (same reason as
+    # prime_vision_cache): an uninterrupted run's task transition passes
+    # state.frozen (bf16, cast at runner.init_state) while a preemption
+    # restart's skipped-task transition passes frozen reloaded from
+    # safetensors (f32 — save_reference_safetensors upcasts on write).
+    # Fingerprinting the raw leaves would read the SAME weights as different
+    # teachers and wipe + fully re-prime the warm cache (~GBs of teacher
+    # forwards) on every restart. The cast also pins the stored states to the
+    # exact bf16 tree the in-step (uncached) teacher consumes.
+    @jax.jit
+    def _canonical(t):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+        )
+
+    teacher_trainable = _canonical(jax.tree.map(jnp.asarray, teacher_trainable))
+    frozen = _canonical(jax.tree.map(jnp.asarray, frozen))
 
     # staleness guard BEFORE the membership scan: cached states are a
     # function of the teacher params; a generation dir primed by a previous
@@ -177,7 +199,24 @@ def prime_teacher_cache(
         if not cache.has(qid):
             todo.append(i)
             qids.append(qid)
+
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # cooperative pod priming: each miss is owned by exactly one process
+        # (stable key-hash ownership — list positions diverge when peers'
+        # atomic writes land mid-scan); the barrier at the end orders priming
+        # before any process's distill steps consume the shared dir
+        from mafed_tpu.data.diskcache import shard_owner
+
+        proc = jax.process_index()
+        mine = [j for j, q in enumerate(qids) if shard_owner(q, n_proc) == proc]
+        todo = [todo[j] for j in mine]
+        qids = [qids[j] for j in mine]
     if not todo:
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("teacher_cache_primed")
         return 0
 
     params = merge_params(teacher_trainable, frozen)
@@ -231,4 +270,8 @@ def prime_teacher_cache(
         for j in range(n_real):
             cache.save(qids[start + j], hs_np[j])
             n_done += 1
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("teacher_cache_primed")
     return n_done

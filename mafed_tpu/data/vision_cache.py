@@ -64,9 +64,10 @@ def prime_vision_cache(
     Deduplicates by image key across datasets and examples (VQA has several
     questions per image), decodes misses on a thread pool, and runs ONE
     jitted vision forward per batch of unique images. Returns the number of
-    images computed. Safe to re-run (no-ops on a warm cache) and safe under
-    multi-process (atomic writes; every process primes the shared dir —
-    redundant but convergent).
+    images computed BY THIS PROCESS. Safe to re-run (no-ops on a warm cache);
+    multi-process pods prime cooperatively — each miss is owned by exactly
+    one process (stable key hash), atomic writes converge the shared dir,
+    and an end-of-priming barrier orders priming before consumption.
     """
     import jax
     import jax.numpy as jnp
@@ -118,35 +119,52 @@ def prime_vision_cache(
                 key = leaf.image_key(i)
                 if key not in jobs and not cache.has(key):
                     jobs[key] = (leaf, i)
-    if not jobs:
-        return 0
-
-    # already ON DEVICE (the canonical cast above ran under jit): jit
-    # re-uploads numpy ARGUMENTS on every dispatch, which would re-ship the
-    # tower once per chunk below — and the bf16 cast halves that footprint
-    params = vision_tree
-    normalize = make_normalizer(model_cfg.vision)
-
-    # params must be an ARGUMENT of the jitted fn: closure-captured device
-    # arrays become baked-in constants (oversized compile payloads on
-    # remote-compile TPU tunnels)
-    @jax.jit
-    def feats_fn(p, pixels_u8):
-        return get_patch_embeddings(p, model_cfg, normalize(pixels_u8, dtype=dtype), dtype=dtype, attn_impl="xla")
-
-    from concurrent.futures import ThreadPoolExecutor
 
     items = list(jobs.items())
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # cooperative pod priming: each miss is computed by exactly ONE
+        # process (stable key-hash ownership, diskcache.shard_owner) instead
+        # of every process recomputing every image — the shared dir (the same
+        # one orbax checkpoints already require) converges via atomic writes,
+        # and the barrier below keeps peers from consuming a half-primed dir
+        from mafed_tpu.data.diskcache import shard_owner
+
+        proc = jax.process_index()
+        items = [kv for kv in items if shard_owner(kv[0], n_proc) == proc]
+
     n_done = 0
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        for start in range(0, len(items), batch_size):
-            chunk = items[start : start + batch_size]
-            pixels = list(pool.map(lambda kv: kv[1][0].load_pixels(kv[1][1]), chunk))
-            px = np.stack(pixels)
-            if len(chunk) < batch_size:  # pad to the compiled batch
-                px = np.concatenate([px, np.repeat(px[-1:], batch_size - len(chunk), axis=0)])
-            feats = np.asarray(feats_fn(params, px))
-            for j, (key, _) in enumerate(chunk):
-                cache.save(key, feats[j])
-            n_done += len(chunk)
+    if items:
+        # already ON DEVICE (the canonical cast above ran under jit): jit
+        # re-uploads numpy ARGUMENTS on every dispatch, which would re-ship the
+        # tower once per chunk below — and the bf16 cast halves that footprint
+        params = vision_tree
+        normalize = make_normalizer(model_cfg.vision)
+
+        # params must be an ARGUMENT of the jitted fn: closure-captured device
+        # arrays become baked-in constants (oversized compile payloads on
+        # remote-compile TPU tunnels)
+        @jax.jit
+        def feats_fn(p, pixels_u8):
+            return get_patch_embeddings(p, model_cfg, normalize(pixels_u8, dtype=dtype), dtype=dtype, attn_impl="xla")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for start in range(0, len(items), batch_size):
+                chunk = items[start : start + batch_size]
+                pixels = list(pool.map(lambda kv: kv[1][0].load_pixels(kv[1][1]), chunk))
+                px = np.stack(pixels)
+                if len(chunk) < batch_size:  # pad to the compiled batch
+                    px = np.concatenate([px, np.repeat(px[-1:], batch_size - len(chunk), axis=0)])
+                feats = np.asarray(feats_fn(params, px))
+                for j, (key, _) in enumerate(chunk):
+                    cache.save(key, feats[j])
+                n_done += len(chunk)
+    if n_proc > 1:
+        # unconditional: a process whose shard (or scan) came up empty must
+        # still wait for peers before training reads the cache
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("vision_cache_primed")
     return n_done

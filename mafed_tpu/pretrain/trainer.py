@@ -298,7 +298,15 @@ class PretrainTrainer:
         opt_steps = int(state.step)
 
         for epoch in range(start_epoch, args.num_train_epochs):
-            seed = int(rng.integers(0, 2**31 - 1))
+            # The epoch shuffle order must be a pure function of (seed, epoch):
+            # drawing it from the mutable `rng` would make a mid-epoch resume
+            # re-draw with the POST-draw saved state — i.e. shuffle the resumed
+            # epoch with the NEXT epoch's seed, so skip_batches would skip
+            # batches of the wrong permutation (the reference instead restores
+            # framework RNG state wholesale, hf.py:330-349; deriving the order
+            # deterministically gives the same exact-resume guarantee without
+            # global RNG coupling — same scheme as the CL runner).
+            seed = int(np.random.default_rng([args.seed, epoch]).integers(0, 2**31 - 1))
             loader = self._loader(
                 self.train_dataset, self.global_batch, text_len, shuffle=True, seed=seed
             )

@@ -155,13 +155,18 @@ class ContinualLearningTrainer:
     def validate_all_tasks(self, params, task_id: int, accuracy: np.ndarray) -> np.ndarray:
         # device-resident once: host numpy params (the reloaded best
         # checkpoint) would re-transfer the full model on every decode call
-        params = self.runner.place_params(params)
         if self.runner.eval_param_sharding is not None:
-            # localize ONCE for the whole eval round — per-call localization
-            # inside validate_vqa would re-copy the full model n_tasks times
+            # multi-process decode is per-process: localize the (mostly host)
+            # tree DIRECTLY onto the local eval sharding, once for the whole
+            # eval round. Routing through place_params first would ship the
+            # full model host -> global mesh -> host -> local devices (three
+            # movements where one suffices), and per-call localization inside
+            # validate_vqa would re-copy it n_tasks times.
             from mafed_tpu.evaluation.validate import localize_params
 
             params = localize_params(params, self.runner.eval_param_sharding)
+        else:
+            params = self.runner.place_params(params)
         for val_task_id, val_task in enumerate(self.config.tasks):
             LOGGER.info(val_task)
             val_log, _ = validate_vqa(

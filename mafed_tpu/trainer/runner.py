@@ -540,6 +540,20 @@ class TaskRunner:
                     "resuming task %d at epoch %d batch %d",
                     task_id, start_epoch, start_batch,
                 )
+                if start_batch == 0 and wait >= self.config.patience:
+                    # the epoch-end bundle is saved BEFORE the early-stop
+                    # break, so a crash between the two leaves a bundle whose
+                    # wait already exhausted patience with fit_state.json
+                    # still naming this task. The uninterrupted run trained
+                    # nothing after that save — entering the loop here would
+                    # train a whole extra epoch (the patience check only runs
+                    # at epoch END) and could shift {task}_best.
+                    LOGGER.info(
+                        "resume: patience already exhausted (wait=%d >= %d) — "
+                        "task had early-stopped; skipping training",
+                        wait, self.config.patience,
+                    )
+                    start_epoch = epochs
 
         # fused-window accumulation carries across epoch boundaries, exactly
         # like the optax.MultiSteps fallback (and PL gradient accumulation):

@@ -47,8 +47,13 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--max-restarts", type=int, default=100)
     parser.add_argument(
-        "--restart-status", type=int, nargs="*", default=[143],
-        help="child exit statuses that trigger a relaunch (143 = preempted)",
+        "--restart-status", type=int, nargs="*", default=[143, -15, -9],
+        help="child exit statuses that trigger a relaunch. 143 = cooperative "
+        "preemption exit; -15/-9 = killed by raw SIGTERM/SIGKILL "
+        "(subprocess reports signal deaths as negative statuses) — a child "
+        "that died before reaching the cooperative exit still has a valid "
+        "epoch-end resume bundle on disk, which is exactly the case this "
+        "wrapper exists for",
     )
     parser.add_argument(
         "--backoff", type=float, default=5.0,

@@ -70,6 +70,52 @@ def test_pretrain_trainer_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_pretrain_midepoch_resume_matches_uninterrupted(tmp_path):
+    """A run resumed from a MID-EPOCH checkpoint must finish bit-identical to
+    the uninterrupted run: the epoch shuffle order is a pure function of
+    (seed, epoch), so skip_batches replays exactly the batches the original
+    epoch already consumed (regression: the epoch seed used to be drawn from
+    the mutable RNG, whose post-draw saved state made the resumed epoch
+    shuffle with the NEXT epoch's seed)."""
+    import jax
+
+    ds, model_cfg = make_dataset(16)
+
+    def make_args(out):
+        return PretrainConfig(
+            output_dir=str(tmp_path / out),
+            per_device_train_batch_size=4,
+            num_train_epochs=2,
+            learning_rate=1e-3,
+            # 4 steps/epoch x 2 epochs = 8 total; save_every = 2 -> the
+            # step-2 checkpoint lands mid-epoch 0 (batch_idx 1)
+            save_steps=0.3,
+            eval_steps=10.0,
+            model_max_length=32,
+            logging_steps=1,
+            load_best_model_at_end=False,
+            save_total_limit=10,
+        )
+
+    args1 = make_args("uninterrupted")
+    state1 = PretrainTrainer(model_cfg, args1, ds, tokenizer=ByteTokenizer()).train()
+    mid = os.path.join(args1.output_dir, "checkpoint-2")
+    with open(os.path.join(mid, "trainer_state.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 0 and meta["batch_idx"] < 3, "checkpoint must be mid-epoch"
+
+    args2 = make_args("resumed")
+    state2 = PretrainTrainer(model_cfg, args2, ds, tokenizer=ByteTokenizer()).train(
+        resume_from_checkpoint=mid
+    )
+    assert int(state2.step) == int(state1.step)
+    flat1 = jax.tree.leaves(state1.trainable)
+    flat2 = jax.tree.leaves(state2.trainable)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
 def test_pretrain_dp8_matches_single_device(tmp_path):
     """SPMD pretraining (HF world_size batch semantics): a dp8 mesh with
     per_device_batch=1 and a single-device run with per_device_batch=8 train

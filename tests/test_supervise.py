@@ -79,6 +79,35 @@ def _train_cmd(cfg_path, model_cfg_path, out):
     ]
 
 
+def test_supervisor_restarts_on_signal_death(tmp_path):
+    """Real preemption can SIGKILL a child that never reaches the cooperative
+    143 exit (grace window expired mid-step). subprocess reports signal
+    deaths as NEGATIVE statuses; the supervisor must relaunch — the job still
+    has a valid epoch-end resume bundle on disk."""
+    child = tmp_path / "child.py"
+    child.write_text(
+        "import os, signal, sys\n"
+        "out = sys.argv[sys.argv.index('--output_dir') + 1]\n"
+        "flag = out + '.flag'\n"
+        "if not os.path.exists(flag):\n"
+        "    open(flag, 'w').close()\n"
+        "    os.kill(os.getpid(), signal.SIGKILL)\n"
+        "assert '--resume_from_checkpoint' in sys.argv\n"
+        "print('second attempt ok')\n"
+    )
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "supervise.py"),
+            "--backoff", "0", "--",
+            sys.executable, str(child), "--output_dir", str(tmp_path / "out"),
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "status -9" in proc.stderr
+    assert "second attempt ok" in proc.stdout
+
+
 @pytest.mark.slow
 def test_supervisor_completes_repeatedly_preempted_run(tmp_path):
     root = str(tmp_path)

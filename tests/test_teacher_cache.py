@@ -195,6 +195,53 @@ def test_priming_rejects_missing_or_duplicate_qids(tmp_path):
         )
 
 
+def test_priming_fingerprint_is_dtype_canonical(tmp_path):
+    """The SAME weights must fingerprint identically whether they arrive as
+    bf16 (state.frozen at an uninterrupted task transition) or as the f32
+    safetensors reload of a preemption restart's skipped task — otherwise
+    every restart wipes and fully re-primes the warm teacher cache."""
+    from mafed_tpu.data.teacher_cache import prime_teacher_cache, teacher_seq_len
+
+    model_cfg = tiny_model_cfg()
+    trainable, frozen = split_params(vl_pythia.init_params(model_cfg, jax.random.PRNGKey(0)))
+    t_bf16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), trainable)
+    f_bf16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), frozen)
+
+    text_len = 16
+    deepest = model_cfg.num_hidden_layers - 2
+    cache = TeacherStateCache(
+        str(tmp_path), generation=0, n_states=deepest + 1,
+        seq_len=teacher_seq_len(model_cfg, text_len), hidden=model_cfg.hidden_size,
+    )
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"question_id": f"q{i}"}
+
+        def question_id(self, i):
+            return f"q{i}"
+
+    def collate(items):
+        return {k: jnp.asarray(v) for k, v in _example_batch(model_cfg, len(items), text_len).items()}
+
+    n1 = prime_teacher_cache(
+        cache, DS(), t_bf16, f_bf16, model_cfg, collate=collate,
+        deepest_tap=deepest, batch_size=2,
+    )
+    assert n1 == 2
+    # f32 upcast of the same weights (bf16 -> f32 is exact): cache stays warm
+    t_f32 = jax.tree.map(lambda x: x.astype(jnp.float32), t_bf16)
+    f_f32 = jax.tree.map(lambda x: x.astype(jnp.float32), f_bf16)
+    n2 = prime_teacher_cache(
+        cache, DS(), t_f32, f_f32, model_cfg, collate=collate,
+        deepest_tap=deepest, batch_size=2,
+    )
+    assert n2 == 0
+
+
 def test_distill_step_cached_teacher_matches_in_step():
     """A distill step consuming precomputed t_hs must match the step that
     runs the teacher forward in-graph (same jitted teacher math)."""
