@@ -53,6 +53,12 @@ def maybe_initialize_distributed(config=None) -> bool:
         jax.process_index(), jax.process_count(),
         jax.local_device_count(), jax.device_count(),
     )
+    # initialize()'s preemption notifier may have displaced the Python
+    # SIGTERM flag handler; single-process runs need it back (see
+    # preempt.reinstall_after_dist_init for the topology split)
+    from mafed_tpu.core.preempt import reinstall_after_dist_init
+
+    reinstall_after_dist_init()
     return True
 
 

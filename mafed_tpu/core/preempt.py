@@ -31,6 +31,7 @@ import jax
 LOGGER = logging.getLogger("mafed_tpu")
 
 _FLAG = threading.Event()
+_INSTALLED = False
 _PREV_HANDLERS: dict = {}
 _TEST_COUNTDOWN: Optional[int] = None
 _WARNED_NO_SYNC = False
@@ -67,10 +68,35 @@ def install_handlers(signals=(signal.SIGTERM,)) -> None:
     Main-thread only (signal module restriction); the CLI entry points call
     this once before training starts.
     """
+    global _INSTALLED
     for s in signals:
         prev = signal.signal(s, _handler)
         if prev not in (None, _handler):
             _PREV_HANDLERS[s] = prev
+    _INSTALLED = True
+
+
+def reinstall_after_dist_init() -> None:
+    """Re-arm the flag handler after jax.distributed.initialize().
+
+    jaxlib's preemption notifier registers its own OS-level SIGTERM handler
+    during initialize(), displacing a Python handler installed earlier. The
+    two mechanisms split by topology: multi-process runs agree on a stop
+    boundary through jax's notifier (sync_preemption_requested ->
+    reached_preemption_sync_point), so its handler must stay; single-process
+    runs (including a 1-process pod slice that still has a coordinator)
+    consult ONLY the local Python flag, so the flag handler must win there.
+    No-op unless install_handlers already ran (library users who never opted
+    into cooperative preemption keep whatever handler they have).
+    """
+    import jax
+
+    if not _INSTALLED or jax.process_count() > 1:
+        return
+    if threading.current_thread() is not threading.main_thread():
+        return  # signal.signal is main-thread-only
+    if signal.getsignal(signal.SIGTERM) is not _handler:
+        install_handlers()
 
 
 def preemption_requested() -> bool:

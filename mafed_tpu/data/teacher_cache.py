@@ -110,10 +110,10 @@ class TeacherStateView:
 
 def teacher_seq_len(model_cfg, text_len: int) -> int:
     """Hidden-state sequence length of the VL forward whose taps we cache:
-    vision tokens (num_patches, +1 CLS unless select_feature == "patch",
-    mirroring vl_pythia.get_patch_embeddings) ++ text tokens."""
-    n_vis = model_cfg.vision.num_patches + (0 if model_cfg.select_feature == "patch" else 1)
-    return n_vis + text_len
+    vision tokens (vl_pythia.n_vision_tokens) ++ text tokens."""
+    from mafed_tpu.models.vl_pythia import n_vision_tokens
+
+    return n_vision_tokens(model_cfg) + text_len
 
 
 def teacher_fingerprint(teacher_trainable, frozen) -> str:

@@ -42,8 +42,18 @@ def _vendored_matches(tokenizer_name: str) -> bool:
         with open(marker) as f:
             source = json.load(f).get("source", "")
     except Exception:
-        # hand-copied assets without a marker: accept only the Pythia family
-        source = "EleutherAI/pythia"
+        # no (or unreadable) marker: the assets' provenance is unknown — a
+        # vendor run that crashed mid-write, or a hand copy. Assuming Pythia
+        # here would silently serve a foreign vocabulary, the exact
+        # accuracy-corrupting substitution the hard-fail exists to prevent.
+        # Refuse; resolution falls through to the HF cache / explicit hub
+        # opt-in / the instant hard fail.
+        LOGGER.warning(
+            "vendored tokenizer assets at %s have no readable vendored_from.json "
+            "marker — ignoring them (re-run scripts/vendor_tokenizer.py)",
+            VENDORED_TOKENIZER_DIR,
+        )
+        return False
     if source == tokenizer_name:
         return True
     return "pythia" in source.lower() and "pythia" in tokenizer_name.lower()

@@ -123,6 +123,15 @@ def get_patch_embeddings(
     return jax.lax.stop_gradient(feats)
 
 
+def n_vision_tokens(cfg: ModelConfig) -> int:
+    """Sequence length of the vision prefix: num_patches, plus the CLS token
+    unless select_feature == "patch" drops it (get_patch_embeddings above).
+    The ONE derivation — cache shapes (teacher_cache.teacher_seq_len),
+    metric token counts, and dryrun shapes all consume this; drifting copies
+    would silently disagree with the model's actual sequence length."""
+    return cfg.vision.num_patches + (0 if cfg.select_feature == "patch" else 1)
+
+
 def project_vision(params: Dict[str, Any], patch_embeddings: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     p = params["projector"]
     x = patch_embeddings.astype(dtype) @ p["fc1"]["weight"].astype(dtype) + p["fc1"]["bias"].astype(dtype)

@@ -168,20 +168,13 @@ class PretrainTrainer:
             save_task_checkpoint(params, self.model_cfg, os.path.join(path, "model.safetensors"))
         import orbax.checkpoint as ocp
 
-        opt_path = os.path.abspath(os.path.join(path, "opt_state"))
-        if jax.process_count() > 1:
-            # rank 0 clears; everyone syncs; then all save (arrival skew must
-            # not let a late rank see a half-cleared dir)
-            if self.is_main and os.path.exists(opt_path):
-                shutil.rmtree(opt_path)
-            from jax.experimental import multihost_utils
+        from mafed_tpu.utils.checkpoint import atomic_json_commit, collective_opt_state_save
 
-            multihost_utils.sync_global_devices("pretrain_ckpt_rmtree")
-        elif os.path.exists(opt_path):
-            shutil.rmtree(opt_path)
+        opt_path = os.path.abspath(os.path.join(path, "opt_state"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(opt_path, state.opt_state)
-        ckptr.wait_until_finished()
+        collective_opt_state_save(
+            ckptr, opt_path, state.opt_state, barrier_name="pretrain_ckpt_rmtree"
+        )
         if self.is_main:
             meta = {
                 "step": int(state.step),
@@ -189,13 +182,8 @@ class PretrainTrainer:
                 "batch_idx": batch_idx,
                 "rng_state": rng.bit_generator.state,
             }
-            # atomic commit marker (written last): a kill mid-save must leave
-            # either no trainer_state.json (checkpoint ignored) or a complete one
-            meta_path = os.path.join(path, "trainer_state.json")
-            tmp = f"{meta_path}.{os.getpid()}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f, default=str)
-            os.replace(tmp, meta_path)
+            # commit marker written last (see atomic_json_commit)
+            atomic_json_commit(os.path.join(path, "trainer_state.json"), meta, default=str)
             self._prune_checkpoints()
         return path
 

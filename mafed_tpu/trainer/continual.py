@@ -110,11 +110,11 @@ class ContinualLearningTrainer:
         if config.vision_cache:
             from mafed_tpu.data.vision_cache import VisionFeatureCache
 
-            vis = self.model_cfg.vision
-            n_tokens = vis.num_patches + (0 if self.model_cfg.select_feature == "patch" else 1)
+            from mafed_tpu.models.vl_pythia import n_vision_tokens
+
             self.vision_cache = VisionFeatureCache(
                 config.vision_cache_dir or os.path.join(config.output_dir, "vision_cache"),
-                n_tokens, vis.embed_dim,
+                n_vision_tokens(self.model_cfg), self.model_cfg.vision.embed_dim,
             )
 
     # ------------------------------------------------------------------
@@ -217,6 +217,11 @@ class ContinualLearningTrainer:
         )
         self._prime_vision_cache(params, [l.dataset for l in self.val_loaders.values()])
         strategy = CLMethod[cfg.cl_method](cfg, self.model_cfg)
+        # layout policy BEFORE any task transition: skipped-task transitions
+        # on a restart build strategy memory iterators before the first
+        # setup_task_optimizer runs, and those iterators must already use
+        # the host/device layout the next trained task's fit will use
+        self.runner.ensure_window_policy(strategy)
         n_tasks = len(cfg.tasks)
         accuracy = np.zeros((n_tasks, n_tasks))
 

@@ -197,6 +197,31 @@ class TaskRunner:
         return self.fit_batches(loader)
 
     # -- optimizer / state -----------------------------------------------------
+    def ensure_window_policy(self, strategy) -> None:
+        """Decide the fused-window size (and with it the host/device batch
+        layout, `host_window`) BEFORE any memory stream exists.
+
+        On a restart run, task transitions for SKIPPED tasks call
+        strategy.update() — which builds the strategy's memory iterator via
+        memory_batches — before setup_task_optimizer ever runs (skipped
+        tasks train nothing). The policy is a pure function of config +
+        strategy, so computing it here keeps the memory stream's layout
+        identical to the one the next trained task's fit loop will use;
+        leaving window at its initial 1 would hand fused-window fits a
+        device-prefetched memory stream and violate memory_batches'
+        "never mixes host and device leaves" contract.
+        """
+        if self.tx is not None:
+            return  # policy frozen alongside the compiled steps
+        accum = max(1, self.config.accumulate_grad_batches)
+        fused = (
+            self.config.fused_window
+            and accum > 1
+            and strategy is not None
+            and strategy.supports_fused_window(accum)
+        )
+        self.window = accum if fused else 1
+
     def setup_task_optimizer(
         self, dataset_size: int, trainable_template: Dict[str, Any], strategy=None
     ) -> None:
@@ -225,13 +250,8 @@ class TaskRunner:
             # strategy=None (direct runner use, e.g. tests driving ce_step
             # themselves) keeps the MultiSteps path — fused windows change
             # what ce_step means per call
-            fused = (
-                self.config.fused_window
-                and accum > 1
-                and strategy is not None
-                and strategy.supports_fused_window(accum)
-            )
-            self.window = accum if fused else 1
+            self.ensure_window_policy(strategy)
+            fused = self.window > 1
             tx = build_optimizer(self.config, trainable_template)
             if accum > 1 and not fused:
                 tx = optax.MultiSteps(tx, every_k_schedule=accum)
@@ -401,8 +421,6 @@ class TaskRunner:
         host-side artifacts (safetensors, fit_state.json) are rank-0 gated;
         params are DP-replicated so rank 0 can materialize them.
         """
-        import shutil
-
         import orbax.checkpoint as ocp
 
         from mafed_tpu.core.dist import is_main_process
@@ -430,32 +448,15 @@ class TaskRunner:
                     LOGGER.warning("bundle leaf %s sharding=%r", jax.tree_util.keystr(path), sh)
         if self._ckptr is None:
             self._ckptr = ocp.StandardCheckpointer()
-        if jax.process_count() > 1:
-            # UNCONDITIONAL barrier: the rmtree decision must not depend on
-            # each process's own exists() check — arrival skew means they can
-            # disagree (rank 0 clears the dir while a late rank sees it
-            # already gone, skips a conditional barrier, and mismatches the
-            # collective save). Rank 0 clears; everyone syncs; then all save.
-            if main and os.path.exists(opt_path):
-                shutil.rmtree(opt_path)
-            from jax.experimental import multihost_utils
+        from mafed_tpu.utils.checkpoint import atomic_json_commit, collective_opt_state_save
 
-            multihost_utils.sync_global_devices("resume_bundle_rmtree")
-        elif os.path.exists(opt_path):
-            shutil.rmtree(opt_path)
-        self._ckptr.save(opt_path, state.opt_state)
-        self._ckptr.wait_until_finished()
+        collective_opt_state_save(
+            self._ckptr, opt_path, state.opt_state, barrier_name="resume_bundle_rmtree"
+        )
         if main:
-            # meta is the COMMIT MARKER for the whole bundle (it is written
-            # last, after model/opt_state): make it atomic so a kill mid-save
-            # leaves the previous self-consistent bundle, never a truncated
-            # JSON (restart crash loop) or new-state/old-meta skew (epoch
-            # batches silently re-applied on resume)
-            meta_path = os.path.join(resume_dir, "fit_state.json")
-            tmp = f"{meta_path}.{os.getpid()}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, meta_path)
+            # meta is the COMMIT MARKER for the whole bundle (written last,
+            # after model/opt_state — see atomic_json_commit)
+            atomic_json_commit(os.path.join(resume_dir, "fit_state.json"), meta)
 
     def _load_resume_bundle(self, resume_dir: str, state: TrainState):
         import orbax.checkpoint as ocp
@@ -554,6 +555,11 @@ class TaskRunner:
                         wait, self.config.patience,
                     )
                     start_epoch = epochs
+                    # nothing will consume a carried partial window: skip the
+                    # replay below (it would pay loader + transfer work and
+                    # then log the carry as unapplied trailing microbatches,
+                    # which the uninterrupted early-stopped run never did)
+                    carry = None
 
         # fused-window accumulation carries across epoch boundaries, exactly
         # like the optax.MultiSteps fallback (and PL gradient accumulation):

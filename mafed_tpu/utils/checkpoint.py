@@ -24,6 +24,61 @@ def task_checkpoint_path(output_dir: str, task: str, extension: str = ".safetens
     return os.path.join(output_dir, "ckpt", f"{task}_best{extension}")
 
 
+def collective_opt_state_save(ckptr, opt_path: str, opt_state, *, barrier_name: str) -> None:
+    """Save a (possibly globally-sharded) opt_state pytree with orbax.
+
+    ONE implementation of the multi-process choreography shared by the CL
+    runner's resume bundles and the pretrain trainer's checkpoints — the
+    steps are subtle enough that hand-maintained copies drift:
+
+    1. rank 0 clears any previous dir, then an UNCONDITIONAL barrier: the
+       rmtree decision must not depend on each process's own exists() check —
+       arrival skew means they can disagree (rank 0 clears the dir while a
+       late rank sees it already gone, skips a conditional barrier, and
+       mismatches the collective save);
+    2. ALL processes save (each writes its addressable shards to the shared
+       dir — rank-0-only gating would deadlock or raise on non-addressable
+       shards), then block until the write completes.
+
+    Callers write their own rank-0 commit marker AFTER this returns (see
+    atomic_json_commit), so a kill mid-save leaves the previous
+    self-consistent checkpoint, never a half-written one.
+    """
+    import shutil
+
+    import jax
+
+    opt_path = os.path.abspath(opt_path)
+    if jax.process_count() > 1:
+        from mafed_tpu.core.dist import is_main_process
+
+        if is_main_process() and os.path.exists(opt_path):
+            shutil.rmtree(opt_path)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(barrier_name)
+    elif os.path.exists(opt_path):
+        shutil.rmtree(opt_path)
+    ckptr.save(opt_path, opt_state)
+    ckptr.wait_until_finished()
+
+
+def atomic_json_commit(path: str, meta: Dict[str, Any], **dump_kwargs) -> None:
+    """Write a checkpoint's commit-marker JSON atomically (tmp + os.replace).
+
+    The marker is written LAST, after every other artifact: a kill mid-save
+    leaves either no marker (checkpoint ignored) or a complete one — never a
+    truncated JSON (restart crash loop) or new-state/old-meta skew (batches
+    silently re-applied on resume). Rank-0-gated by the caller.
+    """
+    import json
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, **dump_kwargs)
+    os.replace(tmp, path)
+
+
 def save_task_checkpoint(params: Dict[str, Any], model_cfg: ModelConfig, path: str) -> None:
     LOGGER.info("saving checkpoint %s", path)
     save_reference_safetensors(params, model_cfg, path)

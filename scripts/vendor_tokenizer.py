@@ -27,16 +27,23 @@ def main() -> None:
     import json
     import os
 
-    # record the source: the vendored assets shadow ONLY this id (plus the
-    # Pythia family, which shares one tokenizer across scales)
-    with open(os.path.join(VENDORED_TOKENIZER_DIR, "vendored_from.json"), "w") as f:
-        json.dump({"source": hub_id}, f)
     print(f"saved {hub_id} tokenizer assets to {VENDORED_TOKENIZER_DIR}")
-    # verify the vendored copy loads offline
+    # verify the vendored copy loads offline BEFORE stamping it usable
     reloaded = AutoTokenizer.from_pretrained(VENDORED_TOKENIZER_DIR, local_files_only=True)
     sample = "What color is the cat?"
     assert reloaded(sample).input_ids == tok(sample).input_ids
     print("offline reload verified")
+
+    # Record the source LAST and atomically: the marker is what makes the
+    # assets loadable (_vendored_matches refuses assets without it), so a
+    # vendor run that dies mid-way leaves ignored files, never a directory
+    # that silently serves the wrong vocabulary.
+    marker = os.path.join(VENDORED_TOKENIZER_DIR, "vendored_from.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"source": hub_id}, f)
+    os.replace(tmp, marker)
+    print(f"stamped vendored_from.json (source={hub_id})")
 
 
 if __name__ == "__main__":

@@ -30,6 +30,31 @@ def test_signal_handler_sets_flag():
     assert not preempt.preemption_requested()
 
 
+def test_reinstall_after_dist_init_restores_flag_handler(monkeypatch):
+    """jax.distributed.initialize()'s preemption notifier installs an
+    OS-level SIGTERM handler that displaces the Python flag handler; on a
+    single-process run the flag is the ONLY preemption mechanism, so the
+    post-init hook must put it back (multi-process runs keep jax's handler —
+    they agree on a stop boundary via reached_preemption_sync_point)."""
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        preempt.install_handlers()
+        # simulate the notifier displacing the Python handler during init
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        preempt.reinstall_after_dist_init()
+        assert signal.getsignal(signal.SIGTERM) is preempt._handler
+
+        # multi-process: jax's own notifier must be left in place
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        import jax
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        preempt.reinstall_after_dist_init()
+        assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
 def test_request_after_counts_updates():
     preempt.request_preemption_after(2)
     assert not preempt.preemption_requested()

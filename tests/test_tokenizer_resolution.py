@@ -47,11 +47,35 @@ def test_vendored_assets_resolve_before_hub(tmp_path, monkeypatch):
 
     d = tmp_path / "vendored"
     _write_tiny_hf_tokenizer(d)
+    with open(os.path.join(d, "vendored_from.json"), "w") as f:
+        json.dump({"source": "EleutherAI/pythia-410m"}, f)
     monkeypatch.setattr(tokmod, "VENDORED_TOKENIZER_DIR", str(d))
     # hub id given, but the vendored assets must win with zero network use
     tok = tokmod.build_tokenizer("EleutherAI/pythia-410m")
     assert tok.pad_token == "<|endoftext|>"
     assert tok("the cat").input_ids == [4, 5]
+
+
+def test_vendored_assets_without_marker_are_refused(tmp_path, monkeypatch):
+    """Assets with no vendored_from.json have unknown provenance (a vendor
+    run that crashed mid-write, or a hand copy of some other model's
+    vocabulary). They must NOT be assumed to be Pythia — resolution falls
+    through to the instant hard fail instead of silently serving a foreign
+    vocabulary."""
+    import mafed_tpu.data.tokenizer as tokmod
+
+    d = tmp_path / "vendored"
+    _write_tiny_hf_tokenizer(d)  # tokenizer.json present, marker absent
+    monkeypatch.setattr(tokmod, "VENDORED_TOKENIZER_DIR", str(d))
+    monkeypatch.delenv("MAFED_TOKENIZER_FROM_HUB", raising=False)
+    with pytest.raises(RuntimeError, match="vendor_tokenizer"):
+        tokmod.build_tokenizer("EleutherAI/pythia-410m")
+    # a marker naming a NON-Pythia source must be refused for a Pythia
+    # request too
+    with open(os.path.join(d, "vendored_from.json"), "w") as f:
+        json.dump({"source": "someorg/other-model"}, f)
+    with pytest.raises(RuntimeError, match="vendor_tokenizer"):
+        tokmod.build_tokenizer("EleutherAI/pythia-410m")
 
 
 def test_missing_tokenizer_hard_fails_without_hub_attempt(tmp_path, monkeypatch):

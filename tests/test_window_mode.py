@@ -62,6 +62,27 @@ def _assert_params_close(a, b):
 
 
 @pytest.mark.slow
+def test_window_policy_decided_before_setup_task_optimizer():
+    """Restart runs call strategy.update() for SKIPPED tasks before
+    setup_task_optimizer ever runs; the memory iterators built there must
+    already use the layout the next trained task's fit will use —
+    ensure_window_policy decides the fused-window size without building the
+    optimizer (regression: runner.window stayed 1 through skipped-task
+    transitions, handing fused-window fits a device-prefetched memory
+    stream)."""
+    from mafed_tpu.cl.base import Naive
+    from mafed_tpu.core.config import TrainConfig
+    from mafed_tpu.data.tokenizer import ByteTokenizer
+    from mafed_tpu.trainer.runner import TaskRunner
+
+    cfg = TrainConfig(batch_size=4, accumulate_grad_batches=4, tasks=["a", "b"])
+    runner = TaskRunner(tiny_model_cfg(), cfg, ByteTokenizer(), mesh=None)
+    assert runner.window == 1  # pre-policy default
+    runner.ensure_window_policy(Naive(cfg, tiny_model_cfg()))
+    assert runner.window == 4
+    assert runner.host_window  # single-process: host-stacked windows
+
+
 def test_featdistill_window_equivalence(tmp_path):
     kw = dict(
         cl_memory=8,
