@@ -4,13 +4,22 @@
 # MAFED adaptive; task order: action count subcategory scene color).
 set -euo pipefail
 
-SEED=42
-TASKS="action count subcategory scene color"
+# SEED / EXP / TASKS are overridable so run_finetuning.sh can sweep seeds and
+# ContVQA splits (diverse_domains / taxonomy_domains default to the
+# reference's seeded random task order: omit --tasks and the trainer derives
+# it from the split file keys, mafed_tpu/utils/cl_utils.py).
+SEED=${SEED:-42}
+EXP=${EXP:-question_types}
+if [ "$EXP" = "question_types" ]; then
+  TASKS=${TASKS:-"action count subcategory scene color"}
+else
+  TASKS=${TASKS:-}
+fi
 MODEL=${MODEL:-storage/models/vl-pythia-eva-410m}
 CFG=config/train-vqa-base-cl-vlpythia.json
 OUT=${OUT:-storage/runs}
-COMMON="--config $CFG --model_name $MODEL --seed $SEED --exp question_types \
-  --tasks $TASKS --learning_rate 5e-5 --accumulate_grad_batches 4"
+COMMON="--config $CFG --model_name $MODEL --seed $SEED --exp $EXP \
+  ${TASKS:+--tasks $TASKS} --learning_rate 5e-5 --accumulate_grad_batches 4"
 
 # naive
 python -m mafed_tpu.train $COMMON --batch_size 32 \

@@ -30,7 +30,10 @@ def main() -> None:
     n_train = int(os.environ.get("SMOKE_N_TRAIN", "64"))
     epochs0 = int(os.environ.get("SMOKE_EPOCHS", "1"))
     method = os.environ.get("SMOKE_METHOD", "featdistill")
-    cfg = write_synthetic_vqa(workdir, n_train=n_train, n_val=8)
+    # SMOKE_TASKS="action,count,subcategory,scene,color" runs the reference's
+    # full 5-task sequence length (scripts/run_seed42.sh:6) on synthetic data
+    tasks = tuple(os.environ.get("SMOKE_TASKS", "taskA,taskB").split(","))
+    cfg = write_synthetic_vqa(workdir, tasks=tasks, n_train=n_train, n_val=8)
     cfg = cfg.replace(
         cl_method=method,
         output_dir=os.path.join(workdir, "out"),
@@ -42,7 +45,7 @@ def main() -> None:
         epochs=[epochs0, int(os.environ.get("SMOKE_EPOCHS1", epochs0))],
         max_txt_len=24,
         val_max_batches=1,
-        distillation_modality_weighing_strategy="balanced",
+        distillation_modality_weighing_strategy=os.environ.get("SMOKE_MODALITY", "balanced"),
         distillation_layer_weighing_strategy="discounted",
         distillation_layer_discount=0.5,
         reg_lambda=100.0,
@@ -66,8 +69,10 @@ def main() -> None:
     wall = time.time() - start
 
     ok = (
-        len(result["accuracy_matrix"]) == 2
-        and os.path.exists(os.path.join(cfg.output_dir, "ckpt", "taskB_best.safetensors"))
+        len(result["accuracy_matrix"]) == len(tasks)
+        and os.path.exists(
+            os.path.join(cfg.output_dir, "ckpt", f"{tasks[-1]}_best.safetensors")
+        )
         and trainer.runner.window == 4
     )
     # steady-state integrated throughput: later epochs run warm-compiled
