@@ -78,8 +78,7 @@ class CLStrategy:
         uninterrupted run's. No-op for strategies without memory."""
         if n_draws <= 0 or self._mem_loader is None:
             return
-        per_epoch = max(1, len(self._mem_loader))
-        self._mem_loader.set_epoch(n_draws // per_epoch, start_batch=n_draws % per_epoch)
+        self._mem_loader.set_draws(n_draws)
         self._mem_iter = iter(runner.memory_batches(self._mem_loader))
         self.mem_draws = n_draws
 

@@ -82,6 +82,33 @@ def test_featdistill_balanced_sequence(tmp_path):
 
 
 @pytest.mark.slow
+def test_featdistill_memory_smaller_than_batch(tmp_path):
+    """3-task sequence whose per-task memory (cl_memory/(T-1) = 2) is SMALLER
+    than the batch (4): the infinite memory stream must fill distill batches
+    by cycling permutations instead of hanging (regression for the pre-carry
+    BatchLoader, which yielded nothing when len(memory) < batch_size)."""
+    from tests.helpers import write_synthetic_vqa
+
+    cfg = write_synthetic_vqa(str(tmp_path), tasks=("taskA", "taskB", "taskC"))
+    cfg = cfg.replace(
+        cl_method="featdistill",
+        output_dir=str(tmp_path / "out_small_mem"),
+        cl_memory=4,
+        replay_interval=2,
+        distillation_modality_weighing_strategy="balanced",
+        distillation_layer_weighing_strategy="discounted",
+        distillation_layer_discount=0.5,
+    )
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    trainer = ContinualLearningTrainer(
+        cfg, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    )
+    result = trainer.main()
+    assert np.asarray(result["accuracy_matrix"]).shape == (3, 3)
+
+
+@pytest.mark.slow
 def test_featdistill_adaptive_sequence(tmp_path):
     cfg, result = run_cl(
         tmp_path,

@@ -68,6 +68,80 @@ def test_infinite_stream_reshuffles_epochs():
     assert out[0] + out[1] != out[2] + out[3]  # reshuffled
 
 
+def test_infinite_stream_dataset_smaller_than_batch():
+    """A replay memory smaller than the batch must still yield full batches
+    (the epoch remainder carries into the next permutation). Regression: the
+    pre-carry loader dropped each epoch's partial batch, so an infinite
+    stream over a tiny memory spun forever yielding nothing — canonical
+    featdistill with memory_size/(T-1) < batch_size hung at task 1."""
+    loader = BatchLoader(RangeDataset(4), 16, collate, shuffle=True, seed=0,
+                         drop_last=True, infinite=True)
+    out = batches_of(loader, limit=3)
+    assert len(out) == 3 and all(len(b) == 16 for b in out)
+    # each batch = 4 whole permutations: every sample drawn exactly 4x
+    for b in out:
+        assert sorted(b) == sorted(list(range(4)) * 4)
+    # deterministic
+    assert out == batches_of(
+        BatchLoader(RangeDataset(4), 16, collate, shuffle=True, seed=0,
+                    drop_last=True, infinite=True),
+        limit=3,
+    )
+
+
+def test_infinite_stream_carries_epoch_remainder():
+    """len(dataset) % batch_size != 0: nothing is dropped — 2 batches span
+    the 10-sample permutation boundary and every sample appears exactly
+    twice in 5 batches."""
+    loader = BatchLoader(RangeDataset(10), 4, collate, shuffle=True, seed=1,
+                         drop_last=True, infinite=True)
+    out = batches_of(loader, limit=5)
+    flat = [x for b in out for x in b]
+    assert sorted(flat) == sorted(list(range(10)) * 2)
+
+
+def test_set_draws_fast_forwards_infinite_stream():
+    """set_draws(n) positions the stream exactly past its first n batches
+    (mid-task preemption resume of memory streams), including positions
+    inside a carried permutation."""
+    def fresh():
+        return BatchLoader(RangeDataset(10), 4, collate, shuffle=True, seed=2,
+                           drop_last=True, infinite=True)
+
+    full = batches_of(fresh(), limit=8)
+    for n in (1, 3, 5):
+        loader = fresh()
+        loader.set_draws(n)
+        assert batches_of(loader, limit=8 - n) == full[n:]
+
+
+def test_infinite_sharded_streams_stay_collective():
+    """Per-shard infinite streams yield the same batch count at every point
+    (SPMD steps are collective) and draw from disjoint epoch slices."""
+    def shard_loader(shard):
+        return BatchLoader(RangeDataset(9), 4, collate, shuffle=True, seed=5,
+                           drop_last=True, infinite=True,
+                           shard_id=shard, num_shards=2)
+
+    a = batches_of(shard_loader(0), limit=4)
+    b = batches_of(shard_loader(1), limit=4)
+    assert len(a) == len(b) == 4
+    assert all(len(x) == 4 for x in a + b)
+    # 9 truncates to 8 -> per-epoch shard slices are disjoint halves
+    assert set(a[0]).isdisjoint(set(b[0]))
+    # fast-forward agrees under sharding too
+    ff = shard_loader(1)
+    ff.set_draws(2)
+    assert batches_of(ff, limit=2) == b[2:]
+
+
+def test_infinite_empty_dataset_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        BatchLoader(RangeDataset(0), 4, collate, infinite=True)
+
+
 def test_loader_propagates_collate_errors():
     """A collate/dataset exception must surface to the consumer, not
     silently end the epoch (the label_tail guard depends on this)."""
