@@ -52,8 +52,14 @@ class BatchLoader:
         self.infinite = infinite
         self.shard_id = shard_id
         self.num_shards = max(1, num_shards)
-        if infinite and len(dataset) == 0:
-            raise ValueError("infinite BatchLoader over an empty dataset")
+        if infinite and len(dataset) < self.num_shards:
+            # a shard's epoch slice would be empty -> the stream could never
+            # fill a batch (e.g. a replay memory smaller than the pod's
+            # process count)
+            raise ValueError(
+                f"infinite BatchLoader needs >= {self.num_shards} samples "
+                f"(one per shard); dataset has {len(dataset)}"
+            )
         self._epoch = 0
         self._start_batch = 0
         self._start_index = 0  # infinite mode: index offset into epoch order

@@ -13,7 +13,9 @@ resume_from_checkpoint flag (mafed/train.py:323), which loses mid-epoch
 progress and is never exercised in that repo.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/drill_tpu.py [workdir]
-Env: DRILL_N_TRAIN (default 128), DRILL_PREEMPT_AFTER (default 3).
+Env: DRILL_N_TRAIN (default 128), DRILL_PREEMPT_AFTER (default 3),
+DRILL_METHOD (default naive; featdistill drills the teacher/memory resume
+path with canonical MAFED-balanced settings).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ def main() -> None:
     sys.path.insert(0, REPO)
     n_train = int(os.environ.get("DRILL_N_TRAIN", "128"))
     preempt_after = int(os.environ.get("DRILL_PREEMPT_AFTER", "3"))
+    method = os.environ.get("DRILL_METHOD", "naive")
 
     from tests.test_cli_e2e import _write_dataset_with_real_images
 
@@ -73,6 +76,16 @@ def main() -> None:
         # is all the drill needs.
         "resume_bundle_every": 99,
     }
+    if method == "featdistill":
+        # memory + canonical MAFED-balanced settings: drills the
+        # teacher/memory resume path, not just the optimizer/loader state
+        cli_cfg.update({
+            "cl_memory": 16,
+            "replay_interval": 4,
+            "distillation_modality_weighing_strategy": "balanced",
+            "distillation_layer_weighing_strategy": "discounted",
+            "distillation_layer_discount": 0.5,
+        })
     cfg_path = os.path.join(workdir, "cli.json")
     with open(cfg_path, "w") as f:
         json.dump(cli_cfg, f)
@@ -85,7 +98,7 @@ def main() -> None:
         return [
             sys.executable, "-m", "mafed_tpu.train",
             "--config", cfg_path, "--model_config", model_cfg_path,
-            "--output_dir", out, "--cl_method", "naive",
+            "--output_dir", out, "--cl_method", method,
         ]
 
     out_ref = os.path.join(workdir, "ref")

@@ -135,11 +135,17 @@ def test_infinite_sharded_streams_stay_collective():
     assert batches_of(ff, limit=2) == b[2:]
 
 
-def test_infinite_empty_dataset_rejected():
+def test_infinite_too_small_dataset_rejected():
+    """Empty datasets — and shards whose epoch slice would be empty on a
+    multi-process pod — can never fill a batch; fail loudly instead of
+    spinning."""
     import pytest
 
-    with pytest.raises(ValueError, match="empty"):
+    with pytest.raises(ValueError, match="needs >= 1"):
         BatchLoader(RangeDataset(0), 4, collate, infinite=True)
+    with pytest.raises(ValueError, match="needs >= 4"):
+        BatchLoader(RangeDataset(3), 4, collate, infinite=True,
+                    shard_id=0, num_shards=4)
 
 
 def test_loader_propagates_collate_errors():

@@ -227,6 +227,63 @@ def test_preempt_resume_two_task_replay_matches_uninterrupted(tmp_path):
 
 
 @pytest.mark.slow
+def test_preempt_resume_two_task_featdistill_matches_uninterrupted(tmp_path):
+    """Same contract as the ER variant for the flagship method: preempt
+    mid-task-1 of a 2-task MAFED run and restart the full sequence. Beyond
+    the memory fast-forward this exercises the distillation-specific resume
+    state: the frozen teacher rebuilt from task 0's best checkpoint and the
+    modality/layer coefficients must match the uninterrupted run's, or the
+    post-resume distill windows diverge. Final params bit-identical."""
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    def cfg_for(out):
+        cfg = write_synthetic_vqa(str(tmp_path), tasks=("taskA", "taskB"), n_train=16, n_val=4)
+        return cfg.replace(
+            cl_method="featdistill",
+            cl_memory=8,
+            replay_interval=4,
+            distillation_modality_weighing_strategy="balanced",
+            distillation_layer_weighing_strategy="discounted",
+            distillation_layer_discount=0.5,
+            output_dir=out,
+            epochs=[1, 2],
+            accumulate_grad_batches=2,
+            log_every=100,
+        )
+
+    cfg_a = cfg_for(os.path.join(str(tmp_path), "fd_a"))
+    ContinualLearningTrainer(
+        cfg_a, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    ).main()
+    final_a = _load_safetensors(os.path.join(cfg_a.output_dir, "resume", "model.safetensors"))
+
+    cfg_b = cfg_for(os.path.join(str(tmp_path), "fd_b"))
+    preempt.request_preemption_after(4)
+    with pytest.raises(preempt.Preempted):
+        ContinualLearningTrainer(
+            cfg_b, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+        ).main()
+    resume_dir = os.path.join(cfg_b.output_dir, "resume")
+    meta = json.load(open(os.path.join(resume_dir, "fit_state.json")))
+    assert meta["task_id"] == 1
+    assert meta["mem_draws"] == 1  # one distill microbatch consumed pre-preempt
+
+    preempt.clear()
+    cfg_b2 = cfg_b.replace(resume_from_checkpoint=resume_dir)
+    r = ContinualLearningTrainer(
+        cfg_b2, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    ).main()
+    assert np.asarray(r["accuracy_matrix"]).shape == (2, 2)
+
+    final_b = _load_safetensors(os.path.join(resume_dir, "model.safetensors"))
+    assert final_a.keys() == final_b.keys()
+    for key in final_a:
+        np.testing.assert_array_equal(
+            final_a[key], final_b[key], err_msg=f"param {key} diverged after resume"
+        )
+
+
+@pytest.mark.slow
 def test_epoch_bundle_window_carry_resume_matches_uninterrupted(tmp_path):
     """5 batches/epoch with window 2: each epoch ends with one carried
     microbatch. Resuming from an epoch-end bundle must replay the carried
