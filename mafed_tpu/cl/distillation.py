@@ -154,6 +154,7 @@ class FeatureDistillation(CLStrategy):
             ),
             deepest_tap=deepest_tap,
             batch_size=cfg.batch_size,
+            vision_table=runner.vision_table,
         )
         if n:
             LOGGER.info(

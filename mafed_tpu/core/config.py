@@ -247,6 +247,13 @@ class TrainConfig:
     # gradients (the tower is frozen and the transform deterministic).
     vision_cache: bool = True
     vision_cache_dir: Optional[str] = None  # default: {output_dir}/vision_cache
+    # HBM budget for the per-task device-resident feature table
+    # (data/vision_table.py): when a task's unique images (train + replay
+    # memory) fit, the loader ships 4-byte row indices instead of ~0.5 MB
+    # feature blocks and the step gathers rows on device — removing the
+    # per-epoch re-streaming of identical features. Tasks over budget fall
+    # back to streaming. 0 disables. Requires vision_cache.
+    device_vision_table_mb: int = 1024
     # OPT-IN disk cache of the frozen distillation teacher's hidden states
     # over the fixed per-task memory set (data/teacher_cache.py): primed once
     # per task transition, the steady-state distill step then skips the

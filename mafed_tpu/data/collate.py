@@ -65,10 +65,20 @@ def collate_train(items: List[Dict], text_len: int, label_tail: Optional[int] = 
 
 
 def _collate_vision(items: List[Dict]) -> Dict[str, np.ndarray]:
-    """Stack the batch's vision input: cached patch features when present
-    (vision_cache steady state), raw uint8 pixels otherwise. Mixed batches
-    indicate a partially-primed cache — fail loudly rather than compile a
-    second step signature mid-epoch."""
+    """Stack the batch's vision input: device-table row indices when the
+    trainer attached a vision table (data/vision_table.py), cached patch
+    features when present (vision_cache steady state), raw uint8 pixels
+    otherwise. Mixed batches indicate a partially-primed cache or a
+    partially-attached table — fail loudly rather than compile a second step
+    signature mid-epoch."""
+    has_idx = ["patch_idx" in it for it in items]
+    if all(has_idx):
+        return {"patch_idx": np.asarray([it["patch_idx"] for it in items], np.int32)}
+    if any(has_idx):
+        raise ValueError(
+            "batch mixes vision-table indices and streamed vision input; "
+            "the vision table must cover every dataset the task draws from"
+        )
     has_patches = ["patches" in it for it in items]
     if all(has_patches):
         return {"patches": np.stack([it["patches"] for it in items])}

@@ -133,6 +133,7 @@ def prime_teacher_cache(
     collate,
     deepest_tap: int,
     batch_size: int = 16,
+    vision_table=None,
 ) -> int:
     """Compute + store teacher hidden states for every uncached memory
     example. ONE jitted early-exit teacher forward per batch; the partial
@@ -261,6 +262,16 @@ def prime_teacher_cache(
         while len(items) < batch_size:  # pad to the compiled batch size
             items.append(items[-1])
         batch = collate(items)
+        if "patch_idx" in batch:
+            # memory leaves carry the trainer's device vision table; priming
+            # dispatches process-LOCAL work (see localize_params above), so
+            # resolve rows on host rather than gathering from the global array
+            if vision_table is None:
+                raise RuntimeError(
+                    "memory batch carries vision-table rows but no table was "
+                    "passed to prime_teacher_cache"
+                )
+            batch = vision_table.resolve_host(batch)
         if "patches" in batch:
             hs = t_fwd(params, batch["input_ids"], batch["attention_mask"],
                        jnp.asarray(batch["patches"], jnp.bfloat16))

@@ -39,6 +39,8 @@ def format_text(text: str, strip: bool = True, capitalize: bool = True, punctuat
 class VQADataset:
     """Map-style VQA dataset over one task's annotations."""
 
+    vision_table = None  # class default: partially-built instances stay safe
+
     def __init__(
         self,
         tokenizer,
@@ -62,6 +64,10 @@ class VQADataset:
         # key is cached the item ships "patches" instead of "pixels" and the
         # training/eval step skips the vision tower entirely
         self.vision_cache = vision_cache
+        # data/vision_table.py: when the trainer attaches a device table for
+        # this task, items ship a 4-byte "patch_idx" row index instead of the
+        # ~0.5MB feature block; the runner gathers rows on device
+        self.vision_table = None
         self._resolved: Dict[str, str] = {}  # img_fname -> abs path (cache keys)
         self.store = AnnotationStore(data_path=data_path, split=split, split_file=split_file, task=task)
 
@@ -114,9 +120,29 @@ class VQADataset:
 
     def __getitem__(self, index: int) -> Dict:
         ex = self.store[index]
+        patch_idx = None
+        if self.vision_table is not None:
+            patch_idx = self.vision_table.index(self.image_key(index))
+            if patch_idx is None:
+                # attachment is all-or-nothing per task (continual.py builds
+                # the table over every image this task's batches can draw);
+                # falling back to streamed patches here would produce a mixed
+                # batch that the fused window's tree.map(stack) cannot take
+                raise KeyError(
+                    f"image {self.image_key(index)!r} missing from the "
+                    "attached vision table"
+                )
         # single key resolve + single filesystem round-trip on the hot path
-        patches = self.vision_cache.load(self.image_key(index)) if self.vision_cache is not None else None
-        pixels = None if patches is not None else self._load_pixels(ex["img_fname"], index)
+        patches = (
+            self.vision_cache.load(self.image_key(index))
+            if self.vision_cache is not None and patch_idx is None
+            else None
+        )
+        pixels = (
+            None
+            if patches is not None or patch_idx is not None
+            else self._load_pixels(ex["img_fname"], index)
+        )
         question = format_text(ex["question"])
         answers = [normalize_answer(a["answer"]) for a in ex.get("answers", [])]
         answer = format_text(normalize_answer(ex.get("multiple_choice_answer", "")), capitalize=False)
@@ -127,7 +153,9 @@ class VQADataset:
             "question_id": ex.get("question_id"),
             "raw": {"question": question, "answer": answer},
         }
-        if patches is not None:
+        if patch_idx is not None:
+            item["patch_idx"] = np.int32(patch_idx)
+        elif patches is not None:
             item["patches"] = patches
         else:
             item["pixels"] = pixels

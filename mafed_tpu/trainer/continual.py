@@ -107,6 +107,7 @@ class ContinualLearningTrainer:
         # frozen-vision feature cache (data/vision_cache.py): primed once per
         # unique image; steady-state steps skip the EVA-02 tower entirely
         self.vision_cache = None
+        self._vt_attached = []  # leaves holding the current task's table
         if config.vision_cache:
             from mafed_tpu.data.vision_cache import VisionFeatureCache
 
@@ -207,6 +208,55 @@ class ContinualLearningTrainer:
         if n:
             LOGGER.info("vision cache: computed %d image features in %.1fs", n, time.time() - t0)
 
+    def _refresh_vision_table(self, strategy, train_dataset) -> None:
+        """Per-task device-resident feature table (data/vision_table.py).
+
+        Covers every image this task's batches can draw — the train set plus
+        the replay memory (whose examples come from previous train sets, all
+        primed into the same disk cache) — so attachment is all-or-nothing
+        and every batch a fused window stacks has one structure. Tasks whose
+        unique images exceed config.device_vision_table_mb stream patches as
+        before. Swapped strictly BETWEEN tasks: memory iterators built at the
+        last transition are lazy (nothing produced until the first draw,
+        inside this task's fit), so no in-flight batch can carry stale rows.
+        """
+        cfg = self.config
+        if self.vision_cache is None or cfg.device_vision_table_mb <= 0:
+            return
+        from mafed_tpu.data import vision_table as vt
+        from mafed_tpu.models.vl_pythia import n_vision_tokens
+
+        datasets = [train_dataset] + list(getattr(strategy, "datasets", []))
+        keys: list = []
+        seen = set()
+        for key in vt.iter_image_keys(datasets):
+            if key not in seen:
+                seen.add(key)
+                keys.append(key)
+        # detach the previous task's leaves first: leaves can recur across
+        # tasks (memory subsets reference earlier train datasets) and must
+        # never serve rows from a table about to be replaced
+        vt.attach(self._vt_attached, None)
+        self._vt_attached = []
+        self.runner.vision_table = None
+        nbytes = vt.table_nbytes(
+            len(keys), n_vision_tokens(self.model_cfg), self.model_cfg.vision.embed_dim
+        )
+        if nbytes > cfg.device_vision_table_mb * (1 << 20):
+            LOGGER.info(
+                "vision table: %d unique images (%.0f MB) over the %d MB "
+                "budget — streaming patches this task",
+                len(keys), nbytes / (1 << 20), cfg.device_vision_table_mb,
+            )
+            return
+        table = vt.build_table(self.vision_cache, keys, mesh=self.runner.mesh)
+        self._vt_attached = vt.attach(datasets, table)
+        self.runner.vision_table = table
+        LOGGER.info(
+            "vision table: %d unique images (%.0f MB) device-resident",
+            len(keys), nbytes / (1 << 20),
+        )
+
     def main(self) -> Dict[str, Any]:
         cfg = self.config
         params = self._initial_params()
@@ -247,6 +297,7 @@ class ContinualLearningTrainer:
                 synthetic_images=self.synthetic_images, vision_cache=self.vision_cache,
             )
             self._prime_vision_cache(params, [train_dataset])
+            self._refresh_vision_table(strategy, train_dataset)
             best_path = self._prev_best_path(task_id, task)
 
             train_this = task_id >= cfg.start_task_idx

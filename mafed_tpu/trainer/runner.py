@@ -127,6 +127,9 @@ class TaskRunner:
         self._ewc_window_step: Optional[Callable] = None
         self._mafed_window_step: Optional[Callable] = None
         self._ckptr = None  # persistent orbax checkpointer for resume bundles
+        # device-resident vision-feature table (data/vision_table.py), swapped
+        # per task by the continual trainer; None = stream patches/pixels
+        self.vision_table = None
         # accumulation-window fusion: microbatches per jit step (1 = the
         # per-microbatch optax.MultiSteps path)
         self.window = 1
@@ -173,7 +176,28 @@ class TaskRunner:
         # regressed integrated throughput 80 -> 58 ex/s — queued transfers
         # contend with step dispatch. Knob for real-host tuning.
         depth = max(1, getattr(self.config, "prefetch_depth", 2))
-        return DevicePrefetcher(loader, sharding=self._batch_sharding, depth=depth)
+        pf = DevicePrefetcher(loader, sharding=self._batch_sharding, depth=depth)
+        if self.vision_table is None:
+            return pf
+        return self._resolving_iter(pf)
+
+    def _resolving_iter(self, iterable):
+        """Gather vision-table rows (patch_idx -> patches) as batches stream;
+        a generator so close() propagates to the producer thread."""
+        it = iter(iterable)
+        try:
+            for batch in it:
+                yield self.vision_table.resolve(batch)
+        finally:
+            close = getattr(it, "close", None)
+            if close:
+                close()
+
+    def resolve_patches(self, batch):
+        """patch_idx -> patches via the attached table (no-op otherwise)."""
+        if self.vision_table is not None and "patch_idx" in batch:
+            return self.vision_table.resolve(batch)
+        return batch
 
     @property
     def host_window(self) -> bool:
@@ -303,10 +327,10 @@ class TaskRunner:
             # DevicePrefetcher): ONE stack + ONE async transfer per window.
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
             if wsh is None:
-                return jax.tree.map(jax.device_put, stacked)
-            return jax.device_put(stacked, wsh)
+                return self.resolve_patches(jax.tree.map(jax.device_put, stacked))
+            return self.resolve_patches(jax.device_put(stacked, wsh))
         if wsh is None:
-            return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            return self.resolve_patches(jax.tree.map(lambda *xs: jnp.stack(xs), *batches))
 
         def assemble(*xs):
             per_dev: Dict[Any, list] = {}
@@ -318,7 +342,7 @@ class TaskRunner:
                 (n_mb,) + xs[0].shape, wsh, arrays
             )
 
-        return jax.tree.map(assemble, *batches)
+        return self.resolve_patches(jax.tree.map(assemble, *batches))
 
     def ce_window_step(self, state, stacked):
         if self._ce_window_step is None:
@@ -350,6 +374,7 @@ class TaskRunner:
                 k: jax.device_put(v, self._batch_sharding) if isinstance(v, np.ndarray) else v
                 for k, v in distill_batch.items()
             }
+        distill_batch = self.resolve_patches(distill_batch)
         return self._mafed_window_step(state, teacher_trainable, ce_stacked, distill_batch, lang_coeffs)
 
     def adaptive_weights_step(self, trainable, frozen, batch):

@@ -57,6 +57,9 @@ def main() -> None:
         log_every=int(os.environ.get("SMOKE_LOG_EVERY", "50")),
         remat_policy=os.environ.get("SMOKE_REMAT_POLICY", ""),
         teacher_state_cache=os.environ.get("SMOKE_TEACHER_CACHE", "0") == "1",
+        # SMOKE_VISION_TABLE_MB=0 streams patches per batch (the r2/r3 default
+        # path); default keeps the device-resident feature table
+        device_vision_table_mb=int(os.environ.get("SMOKE_VISION_TABLE_MB", "1024")),
         allow_tokenizer_fallback=True,
     )
     model_cfg = ModelConfig()  # the real 410M + EVA-02-L

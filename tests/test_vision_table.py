@@ -1,0 +1,176 @@
+"""Device-resident vision feature table (data/vision_table.py): loaders ship
+int32 row indices, steps gather rows from an HBM-resident table — must be
+value-identical to streaming the cached patch features, across the plain
+item path, fused-window stacking, DP-sharded stacking, and end-to-end runs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.helpers import tiny_model_cfg, write_synthetic_vqa
+
+from mafed_tpu.data import vision_table as vt
+from mafed_tpu.data.vision_cache import VisionFeatureCache, prime_vision_cache
+
+
+def _primed(tmp_path, task="taskA"):
+    from mafed_tpu.data.factory import prepare_train_dataset
+    from mafed_tpu.data.tokenizer import ByteTokenizer
+    from mafed_tpu.models import vl_pythia
+    from mafed_tpu.training.train_state import split_params
+
+    model_cfg = tiny_model_cfg()
+    cfg = write_synthetic_vqa(str(tmp_path))
+    vis = model_cfg.vision
+    cache = VisionFeatureCache(str(tmp_path / "vc"), vis.num_patches, vis.embed_dim)
+    ds = prepare_train_dataset(cfg, task, ByteTokenizer(), vis, synthetic_images=True, vision_cache=cache)
+    params = vl_pythia.init_params(model_cfg, jax.random.PRNGKey(0))
+    _, frozen = split_params(params)
+    prime_vision_cache(cache, [ds], frozen, model_cfg, batch_size=8)
+    return model_cfg, cfg, cache, ds
+
+
+def test_items_ship_rows_and_gather_matches_stream(tmp_path):
+    model_cfg, cfg, cache, ds = _primed(tmp_path)
+    streamed = [ds[i]["patches"] for i in range(4)]
+
+    keys = []
+    seen = set()
+    for k in vt.iter_image_keys([ds]):
+        if k not in seen:
+            seen.add(k)
+            keys.append(k)
+    table = vt.build_table(cache, keys)
+    leaves = vt.attach([ds], table)
+    assert leaves, "attach found no leaf datasets"
+
+    item = ds[0]
+    assert "patch_idx" in item and "patches" not in item and "pixels" not in item
+
+    from mafed_tpu.data.collate import collate_train
+
+    batch = collate_train([ds[i] for i in range(4)], text_len=16)
+    assert batch["patch_idx"].dtype == np.int32 and batch["patch_idx"].shape == (4,)
+
+    resolved = table.resolve(dict(batch))
+    got = np.asarray(resolved["patches"], np.float32)
+    want = np.stack([np.asarray(s, np.float32) for s in streamed])
+    np.testing.assert_array_equal(got, want)
+    # host-side resolve (teacher-cache priming path) agrees
+    host = table.resolve_host(dict(batch))
+    np.testing.assert_array_equal(np.asarray(host["patches"], np.float32), want)
+
+    vt.attach([ds], None)
+    assert "patches" in ds[0]
+
+
+def test_collate_rejects_mixed_rows():
+    from mafed_tpu.data.collate import collate_train
+
+    a = {"input_ids": np.ones(3, np.int32), "labels": np.asarray([-100, 1, 2], np.int32),
+         "patch_idx": np.int32(0)}
+    b = {"input_ids": np.ones(3, np.int32), "labels": np.asarray([-100, 1, 2], np.int32),
+         "patches": np.zeros((4, 8), np.float32)}
+    with pytest.raises(ValueError, match="mixes vision-table"):
+        collate_train([a, b], text_len=8)
+
+
+def test_stack_window_resolves_rows_sharded(tmp_path, eight_devices):
+    """Fused-window stacking under a (8,) data mesh: idx batches stack to
+    [n_mb, B] laid out P(None, 'data'), the gather output matches streamed
+    patches and stays sharded over 'data'."""
+    from mafed_tpu.core.config import TrainConfig
+    from mafed_tpu.core.mesh import make_mesh
+    from mafed_tpu.data.tokenizer import ByteTokenizer
+    from mafed_tpu.trainer.runner import TaskRunner
+
+    model_cfg, cfg, cache, ds = _primed(tmp_path)
+    mesh = make_mesh((8,), ("data",))
+    runner = TaskRunner(model_cfg, cfg.replace(batch_size=8), ByteTokenizer(), mesh=mesh)
+
+    keys = list(dict.fromkeys(vt.iter_image_keys([ds])))
+    table = vt.build_table(cache, keys, mesh=mesh)
+    runner.vision_table = table
+
+    rng = np.random.default_rng(0)
+    idx_batches = []
+    want = []
+    for _ in range(2):  # 2 microbatches of 8
+        rows = rng.integers(0, len(keys), size=8)
+        idx_batches.append({"patch_idx": rows.astype(np.int32)})
+        want.append(table.host[rows])
+    stacked = runner.stack_window(idx_batches)
+    assert "patch_idx" not in stacked
+    got = np.asarray(stacked["patches"], np.float32)
+    np.testing.assert_array_equal(got, np.stack(want).astype(np.float32))
+    # batch dim sharded over data; microbatch + feature dims replicated
+    spec = stacked["patches"].sharding.spec
+    assert tuple(spec)[:2] == (None, "data")
+
+
+def test_over_budget_falls_back_to_streaming(tmp_path, monkeypatch):
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    cfg = write_synthetic_vqa(str(tmp_path))
+    cfg = cfg.replace(cl_method="naive", output_dir=str(tmp_path / "out"))
+    trainer = ContinualLearningTrainer(
+        cfg, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    )
+    from mafed_tpu.data.factory import prepare_train_dataset
+
+    ds = prepare_train_dataset(
+        cfg, "taskA", trainer.tokenizer, trainer.model_cfg.vision,
+        synthetic_images=True, vision_cache=trainer.vision_cache,
+    )
+    trainer._prime_vision_cache(trainer._initial_params(), [ds])
+
+    class S:  # strategy stub with no memory
+        datasets = []
+
+    trainer._refresh_vision_table(S(), ds)
+    assert trainer.runner.vision_table is not None
+    assert "patch_idx" in ds[0]
+
+    # a task over the HBM budget detaches everything and streams
+    monkeypatch.setattr(vt, "table_nbytes", lambda *a: 10**15)
+    trainer._refresh_vision_table(S(), ds)
+    assert trainer.runner.vision_table is None
+    assert "patches" in ds[0]
+
+
+@pytest.mark.slow
+def test_e2e_featdistill_table_matches_streaming(tmp_path):
+    """Full 2-task MAFED sequence (fused windows + replay memory + teacher):
+    the device table must be bit-identical to streaming — the gather returns
+    the same bf16 rows the collate would have stacked."""
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    def run(tag, table_mb):
+        cfg = write_synthetic_vqa(str(tmp_path / tag))
+        cfg = cfg.replace(
+            cl_method="featdistill",
+            cl_memory=8,
+            replay_interval=2,
+            accumulate_grad_batches=2,
+            distillation_modality_weighing_strategy="balanced",
+            distillation_layer_weighing_strategy="discounted",
+            distillation_layer_discount=0.5,
+            device_vision_table_mb=table_mb,
+            output_dir=str(tmp_path / tag / "out"),
+        )
+        trainer = ContinualLearningTrainer(
+            cfg, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+        )
+        return trainer.main()
+
+    r_table = run("table", 1024)
+    r_stream = run("stream", 0)
+    np.testing.assert_allclose(
+        np.asarray(r_table["accuracy_matrix"]),
+        np.asarray(r_stream["accuracy_matrix"]),
+        atol=1e-9,
+    )
