@@ -86,6 +86,10 @@ class DeviceVisionTable:
         else:
             self.table = jax.device_put(feats)
         self._gather = jax.jit(lambda table, idx: jnp.take(table, idx, axis=0))
+        # lazily-placed per-process copy for non-collective dispatch (eval
+        # decode on multi-process pods) — see resolve_local
+        self._local = None
+        self._local_sharding = None
 
     def __len__(self) -> int:
         return len(self.key_to_idx)
@@ -105,6 +109,23 @@ class DeviceVisionTable:
             return batch
         out = dict(batch)
         out["patches"] = self.host[np.asarray(out.pop("patch_idx"))]
+        return out
+
+    def resolve_local(self, batch: Dict, sharding) -> Dict:
+        """Per-process gather for non-collective dispatch (eval decode on
+        multi-process pods, where each process decodes its own unequal batch
+        count): the table is re-placed ONCE onto the given process-local
+        sharding, mirroring validate.localize_params, so the gather never
+        becomes a collective over the global mesh."""
+        if "patch_idx" not in batch:
+            return batch
+        import jax
+
+        if self._local_sharding is not sharding:
+            self._local = jax.device_put(self.host, sharding)
+            self._local_sharding = sharding
+        out = dict(batch)
+        out["patches"] = self._gather(self._local, out.pop("patch_idx"))
         return out
 
 

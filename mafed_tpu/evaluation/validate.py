@@ -18,7 +18,7 @@ from mafed_tpu.core.logging import LOGGER
 from mafed_tpu.evaluation.vqa_metrics import VQAGenerativeAccuracy, normalize_answer, vqa_v2_score
 
 
-_DECODE_KEYS = ("input_ids", "attention_mask", "pixels", "patches")
+_DECODE_KEYS = ("input_ids", "attention_mask", "pixels", "patches", "patch_idx")
 
 
 def localize_params(params, sharding):
@@ -69,6 +69,7 @@ def validate_vqa(
     max_batches: Optional[int] = None,
     sharding=None,
     param_sharding=None,
+    resolve: Optional[Callable] = None,
 ) -> Tuple[Dict, Dict]:
     """Generative VQA eval. With `sharding` the decode batch is placed with
     the mesh's batch sharding, so generation runs SPMD over the data axis;
@@ -121,6 +122,10 @@ def validate_vqa(
         dec_batch = {k: padded[k] for k in _DECODE_KEYS if k in padded}
         if sharding is not None:
             dec_batch = {k: jax.device_put(v, sharding) for k, v in dec_batch.items()}
+        if resolve is not None:
+            # vision-table rows -> patches (runner.eval_resolve): an on-device
+            # gather instead of re-streaming ~0.5 MB of features per example
+            dec_batch = resolve(dec_batch)
         toks_dev = decoder(params, dec_batch)
         if pending is not None:
             score(*pending)

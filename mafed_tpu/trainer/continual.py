@@ -108,6 +108,7 @@ class ContinualLearningTrainer:
         # unique image; steady-state steps skip the EVA-02 tower entirely
         self.vision_cache = None
         self._vt_attached = []  # leaves holding the current task's table
+        self.val_loaders = {}  # built once in main() (reference dataloaders.py:61-83)
         if config.vision_cache:
             from mafed_tpu.data.vision_cache import VisionFeatureCache
 
@@ -179,6 +180,7 @@ class ContinualLearningTrainer:
                 max_batches=self.config.val_max_batches,
                 sharding=self.runner.eval_sharding,
                 param_sharding=None,
+                resolve=self.runner.eval_resolve,
             )
             accuracy[val_task_id, task_id] = val_log["valid/acc"]
 
@@ -208,17 +210,20 @@ class ContinualLearningTrainer:
         if n:
             LOGGER.info("vision cache: computed %d image features in %.1fs", n, time.time() - t0)
 
-    def _refresh_vision_table(self, strategy, train_dataset) -> None:
+    def _refresh_vision_table(self, strategy, train_dataset, task=None) -> None:
         """Per-task device-resident feature table (data/vision_table.py).
 
         Covers every image this task's batches can draw — the train set plus
         the replay memory (whose examples come from previous train sets, all
         primed into the same disk cache) — so attachment is all-or-nothing
-        and every batch a fused window stacks has one structure. Tasks whose
-        unique images exceed config.device_vision_table_mb stream patches as
-        before. Swapped strictly BETWEEN tasks: memory iterators built at the
-        last transition are lazy (nothing produced until the first draw,
-        inside this task's fit), so no in-flight batch can carry stale rows.
+        per dataset and every batch a fused window stacks has one structure.
+        Validation sets ride along budget-permitting (decode re-streams the
+        same features every epoch otherwise), in tiers: all tasks' val sets
+        (validate_all_tasks) > the current task's val set (the per-epoch
+        early-stopping eval) > train+memory only > full streaming. Swapped
+        strictly BETWEEN tasks: memory iterators built at the last transition
+        are lazy (nothing produced until the first draw, inside this task's
+        fit), so no in-flight batch can carry stale rows.
         """
         cfg = self.config
         if self.vision_cache is None or cfg.device_vision_table_mb <= 0:
@@ -226,35 +231,40 @@ class ContinualLearningTrainer:
         from mafed_tpu.data import vision_table as vt
         from mafed_tpu.models.vl_pythia import n_vision_tokens
 
-        datasets = [train_dataset] + list(getattr(strategy, "datasets", []))
-        keys: list = []
-        seen = set()
-        for key in vt.iter_image_keys(datasets):
-            if key not in seen:
-                seen.add(key)
-                keys.append(key)
+        base = [train_dataset] + list(getattr(strategy, "datasets", []))
+        all_val = [loader.dataset for loader in self.val_loaders.values()]
+        cur_val = [self.val_loaders[task].dataset] if task in self.val_loaders else []
+        tiers = [("train+memory+val", base + all_val)]
+        if cur_val and len(all_val) > 1:
+            tiers.append(("train+memory+current-val", base + cur_val))
+        tiers.append(("train+memory", base))
+
         # detach the previous task's leaves first: leaves can recur across
         # tasks (memory subsets reference earlier train datasets) and must
         # never serve rows from a table about to be replaced
         vt.attach(self._vt_attached, None)
         self._vt_attached = []
         self.runner.vision_table = None
-        nbytes = vt.table_nbytes(
-            len(keys), n_vision_tokens(self.model_cfg), self.model_cfg.vision.embed_dim
+
+        row_bytes = vt.table_nbytes(
+            1, n_vision_tokens(self.model_cfg), self.model_cfg.vision.embed_dim
         )
-        if nbytes > cfg.device_vision_table_mb * (1 << 20):
+        budget = cfg.device_vision_table_mb * (1 << 20)
+        for tier, datasets in tiers:
+            keys = list(dict.fromkeys(vt.iter_image_keys(datasets)))
+            if len(keys) * row_bytes > budget:
+                continue
+            table = vt.build_table(self.vision_cache, keys, mesh=self.runner.mesh)
+            self._vt_attached = vt.attach(datasets, table)
+            self.runner.vision_table = table
             LOGGER.info(
-                "vision table: %d unique images (%.0f MB) over the %d MB "
-                "budget — streaming patches this task",
-                len(keys), nbytes / (1 << 20), cfg.device_vision_table_mb,
+                "vision table [%s]: %d unique images (%.0f MB) device-resident",
+                tier, len(keys), len(keys) * row_bytes / (1 << 20),
             )
             return
-        table = vt.build_table(self.vision_cache, keys, mesh=self.runner.mesh)
-        self._vt_attached = vt.attach(datasets, table)
-        self.runner.vision_table = table
         LOGGER.info(
-            "vision table: %d unique images (%.0f MB) device-resident",
-            len(keys), nbytes / (1 << 20),
+            "vision table: train+memory image set over the %d MB budget — "
+            "streaming patches this task", cfg.device_vision_table_mb,
         )
 
     def main(self) -> Dict[str, Any]:
@@ -297,7 +307,7 @@ class ContinualLearningTrainer:
                 synthetic_images=self.synthetic_images, vision_cache=self.vision_cache,
             )
             self._prime_vision_cache(params, [train_dataset])
-            self._refresh_vision_table(strategy, train_dataset)
+            self._refresh_vision_table(strategy, train_dataset, task)
             best_path = self._prev_best_path(task_id, task)
 
             train_this = task_id >= cfg.start_task_idx

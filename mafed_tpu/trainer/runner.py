@@ -199,6 +199,17 @@ class TaskRunner:
             return self.vision_table.resolve(batch)
         return batch
 
+    def eval_resolve(self, batch):
+        """patch_idx -> patches for DECODE batches (validate_vqa's `resolve`):
+        the collective gather on the training mesh under a single controller;
+        a per-process local gather (table localized like the params) on
+        multi-process pods, where decode dispatch is non-collective."""
+        if self.vision_table is None or "patch_idx" not in batch:
+            return batch
+        if self.eval_param_sharding is None:
+            return self.vision_table.resolve(batch)
+        return self.vision_table.resolve_local(batch, self.eval_param_sharding)
+
     @property
     def host_window(self) -> bool:
         """Single-controller fused windows keep microbatches on HOST and ship
@@ -705,6 +716,7 @@ class TaskRunner:
                 max_batches=self.config.val_max_batches,
                 sharding=self.eval_sharding,
                 param_sharding=self.eval_param_sharding,
+                resolve=self.eval_resolve,
             )
             acc = float(val_log["valid/acc"])
             history.append({"epoch": epoch, "acc": acc, "train_ex_per_s": ex_per_s})

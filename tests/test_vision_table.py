@@ -112,6 +112,86 @@ def test_stack_window_resolves_rows_sharded(tmp_path, eight_devices):
     assert tuple(spec)[:2] == (None, "data")
 
 
+def test_validate_resolves_table_rows(tmp_path):
+    """Decode batches carrying patch_idx are resolved through validate_vqa's
+    `resolve` hook: the stub decoder must see gathered patches identical to
+    what streaming collate would have shipped."""
+    from mafed_tpu.data.collate import collate_val
+    from mafed_tpu.data.loader import BatchLoader
+    from mafed_tpu.evaluation.validate import validate_vqa
+    from mafed_tpu.data.tokenizer import ByteTokenizer
+
+    model_cfg, cfg, cache, ds = _primed(tmp_path)
+    streamed = [ds[i]["patches"] for i in range(len(ds))]
+
+    keys = list(dict.fromkeys(vt.iter_image_keys([ds])))
+    table = vt.build_table(cache, keys)
+    vt.attach([ds], table)
+
+    loader = BatchLoader(ds, batch_size=4, collate=lambda items: collate_val(items, text_len=16),
+                         shuffle=False, seed=0)
+    seen = []
+
+    def decoder(params, batch):
+        assert "patch_idx" not in batch and "patches" in batch
+        seen.append(np.asarray(batch["patches"], np.float32))
+        return np.zeros((batch["input_ids"].shape[0], 4), np.int32)
+
+    validate_vqa({}, decoder, loader, ByteTokenizer(), batch_size=4,
+                 resolve=table.resolve)
+    got = np.concatenate(seen)[: len(ds)]
+    want = np.stack([np.asarray(s, np.float32) for s in streamed])
+    np.testing.assert_array_equal(got, want)
+    vt.attach([ds], None)
+
+
+def test_table_tiers_include_val_when_budget_allows(tmp_path, monkeypatch):
+    """Tier selection: a budget that fits train+val attaches the val sets; a
+    budget that only fits train+memory leaves val streaming. Synthetic val
+    sets are sized LARGER than train so they contribute distinct image keys
+    (synthetic keys are per-index)."""
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+    from mafed_tpu.data.factory import get_val_loaders, prepare_train_dataset
+
+    cfg = write_synthetic_vqa(str(tmp_path), n_train=8, n_val=16)
+    cfg = cfg.replace(cl_method="naive", output_dir=str(tmp_path / "out"))
+    trainer = ContinualLearningTrainer(
+        cfg, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+    )
+    trainer.val_loaders = get_val_loaders(
+        cfg, trainer.tokenizer, trainer.model_cfg.vision, trainer.runner.val_text_len,
+        synthetic_images=True, vision_cache=trainer.vision_cache,
+    )
+    ds = prepare_train_dataset(
+        cfg, "taskA", trainer.tokenizer, trainer.model_cfg.vision,
+        synthetic_images=True, vision_cache=trainer.vision_cache,
+    )
+    params = trainer._initial_params()
+    trainer._prime_vision_cache(params, [ds])
+    trainer._prime_vision_cache(params, [l.dataset for l in trainer.val_loaders.values()])
+
+    class S:
+        datasets = []
+
+    n_train = len(set(vt.iter_image_keys([ds])))  # 8
+    monkeypatch.setattr(vt, "table_nbytes", lambda n, p, d: n * (1 << 20))  # 1 MB/key
+    val_ds = trainer.val_loaders["taskA"].dataset
+
+    trainer.config = cfg.replace(device_vision_table_mb=1024)
+    trainer._refresh_vision_table(S(), ds, "taskA")
+    table = trainer.runner.vision_table
+    assert table is not None and len(table) > n_train  # val keys included
+    assert "patch_idx" in val_ds[0]
+
+    # budget that fits the train set but not train+val: val streams
+    trainer.config = cfg.replace(device_vision_table_mb=n_train)
+    trainer._refresh_vision_table(S(), ds, "taskA")
+    table = trainer.runner.vision_table
+    assert table is not None and len(table) == n_train
+    assert "patches" in val_ds[0]
+    assert "patch_idx" in ds[0]
+
+
 def test_over_budget_falls_back_to_streaming(tmp_path, monkeypatch):
     from mafed_tpu.trainer.continual import ContinualLearningTrainer
 
