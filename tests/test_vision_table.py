@@ -145,6 +145,29 @@ def test_validate_resolves_table_rows(tmp_path):
     vt.attach([ds], None)
 
 
+def test_resolve_local_matches_collective(tmp_path, eight_devices):
+    """resolve_local (multi-process eval decode, where dispatch must stay
+    non-collective): gathering through a table re-placed on a local sharding
+    returns the same rows as the mesh-collective resolve, and the re-placed
+    copy is cached per sharding (one device_put, not one per batch)."""
+    model_cfg, cfg, cache, ds = _primed(tmp_path)
+    keys = list(dict.fromkeys(vt.iter_image_keys([ds])))
+
+    from mafed_tpu.core.mesh import make_mesh
+
+    mesh = make_mesh((8,), ("data",))
+    table = vt.build_table(cache, keys, mesh=mesh)
+    local = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+    rows = np.asarray([2, 0, 1, 2], np.int32)
+    got = table.resolve_local({"patch_idx": rows}, local)["patches"]
+    want = table.resolve({"patch_idx": rows})["patches"]
+    np.testing.assert_array_equal(np.asarray(got, np.float32), np.asarray(want, np.float32))
+    placed = table._local
+    table.resolve_local({"patch_idx": rows}, local)
+    assert table._local is placed  # cached, not re-shipped per batch
+
+
 def test_table_tiers_include_val_when_budget_allows(tmp_path, monkeypatch):
     """Tier selection: a budget that fits train+val attaches the val sets; a
     budget that only fits train+memory leaves val streaming. Synthetic val
