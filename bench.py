@@ -52,7 +52,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from mafed_tpu.core.config import ModelConfig, TrainConfig
+    from mafed_tpu.core.config import TrainConfig
     from mafed_tpu.models import vl_pythia
     from mafed_tpu.optim.optimizer import build_optimizer
     from mafed_tpu.optim.sched import linear_warmup_schedule
@@ -61,8 +61,11 @@ def main() -> None:
     from mafed_tpu.training.train_state import TrainState, split_params
     from __graft_entry__ import _example_batch
 
-    model_cfg = ModelConfig()  # VL-Pythia-410M + EVA-02-L defaults
+    from mafed_tpu.core.config import model_config_for_preset
+
     # sweep knobs (experiments only; the headline uses the defaults)
+    preset = os.environ.get("MAFED_BENCH_PRESET", "410m")
+    model_cfg = model_config_for_preset(preset)  # + EVA-02-L vision
     b = int(os.environ.get("MAFED_BENCH_B", "16"))
     text_len, n_ce = 80, int(os.environ.get("MAFED_BENCH_NCE", "3"))
     train_cfg = TrainConfig(
@@ -192,7 +195,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "mafed_accumulation_window_examples_per_sec_per_chip",
+                # non-default presets are labeled so cross-run numbers can't
+                # be misread as the 410M headline
+                "metric": "mafed_accumulation_window_examples_per_sec_per_chip"
+                + ("" if preset == "410m" else f"_{preset}"),
                 "value": round(ex_per_s, 2),
                 "unit": "examples/sec/chip",
                 "vs_baseline": round(ex_per_s / a100_ex_per_s, 3),

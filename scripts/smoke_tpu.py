@@ -1,4 +1,4 @@
-"""On-TPU smoke of the REAL training surface at 410M scale.
+"""On-TPU smoke of the REAL training surface (410M default; SMOKE_PRESET=160m/1b).
 
 Drives ContinualLearningTrainer end-to-end (2 synthetic mini-tasks,
 featdistill/MAFED, accumulate_grad_batches=4 = fused windows, generative
@@ -24,7 +24,6 @@ def main() -> None:
 
     from tests.helpers import write_synthetic_vqa
 
-    from mafed_tpu.core.config import ModelConfig
     from mafed_tpu.trainer.continual import ContinualLearningTrainer
 
     n_train = int(os.environ.get("SMOKE_N_TRAIN", "64"))
@@ -62,7 +61,12 @@ def main() -> None:
         device_vision_table_mb=int(os.environ.get("SMOKE_VISION_TABLE_MB", "1024")),
         allow_tokenizer_fallback=True,
     )
-    model_cfg = ModelConfig()  # the real 410M + EVA-02-L
+    # SMOKE_PRESET selects the model scale (160m / 410m / 1b — the three
+    # reference scales, utils/download_models.py:6-24); default is the 410M
+    from mafed_tpu.core.config import model_config_for_preset
+
+    preset = os.environ.get("SMOKE_PRESET", "410m")
+    model_cfg = model_config_for_preset(preset)  # + EVA-02-L vision
 
     start = time.time()
     trainer = ContinualLearningTrainer(
