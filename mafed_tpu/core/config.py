@@ -40,6 +40,12 @@ class VisionConfig:
     scale_mlp: bool = True  # LayerNorm inside the MLP (EVA-02 "sub-LN")
     scale_attn_inner: bool = True  # LayerNorm on attn output pre-projection
     rope_temperature: float = 10000.0  # timm RotaryEmbeddingCat default
+    # timm ref_feat_shape side: rope positions are rescaled by ref/feat per
+    # axis when a pretrained model runs at a different img_size (the
+    # reference's create_eva2_model(img_size=336) path keeps the pretrained
+    # (16, 16) reference grid — mafed/model/vl_pythia.py:163-172). None means
+    # ref == feat (the canonical 224 config, mafed/train.py:477).
+    rope_ref_feat_side: Optional[int] = None
     layer_norm_eps: float = 1e-6
     # image preprocessing (CLIP stats; mafed/train.py:95-104)
     crop_pct: float = 0.9

@@ -46,7 +46,12 @@ def rope_embed_2d(cfg: VisionConfig) -> np.ndarray:
     side = cfg.img_size // cfg.patch_size
     exp = np.arange(num_bands, dtype=np.float64) / num_bands
     bands = 1.0 / (cfg.rope_temperature ** exp)  # [nb]
-    t = np.arange(side, dtype=np.float64)  # ref_feat_shape == feat_shape here
+    t = np.arange(side, dtype=np.float64)
+    if cfg.rope_ref_feat_side is not None:
+        # pretrained-grid rescale: t = t / feat * ref (timm
+        # build_rotary_pos_embed ref_feat_shape — the reference's
+        # create_eva2_model(img_size=336) keeps the 224-pretrained (16, 16))
+        t = t / side * cfg.rope_ref_feat_side
     grid_h, grid_w = np.meshgrid(t, t, indexing="ij")
     # pos[..., axis, band]
     pos = np.stack([grid_h, grid_w], axis=-1)[..., None] * bands  # [s, s, 2, nb]
