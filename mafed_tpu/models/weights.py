@@ -226,9 +226,10 @@ def load_pretrained(model_dir: str, cfg: Optional[ModelConfig] = None) -> tuple:
         for shard in shards:
             sd.update(load_file(os.path.join(model_dir, shard)))
     elif os.path.exists(os.path.join(model_dir, "pytorch_model.bin")):
-        import torch
+        # stdlib zipfile+pickle reader — no torch dependency (bin_reader.py)
+        from mafed_tpu.models.bin_reader import load_torch_bin
 
-        sd = torch.load(os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu")
+        sd = load_torch_bin(os.path.join(model_dir, "pytorch_model.bin"))
     else:
         raise FileNotFoundError(f"no weights found under {model_dir}")
     return convert_vl_state_dict(sd, cfg), cfg
