@@ -169,6 +169,7 @@ class ContinualLearningTrainer:
             params = localize_params(params, self.runner.eval_param_sharding)
         else:
             params = self.runner.place_params(params)
+        metrics = {}
         for val_task_id, val_task in enumerate(self.config.tasks):
             LOGGER.info(val_task)
             val_log, _ = validate_vqa(
@@ -183,8 +184,14 @@ class ContinualLearningTrainer:
                 resolve=self.runner.eval_resolve,
             )
             accuracy[val_task_id, task_id] = val_log["valid/acc"]
+            # per-task validation metrics ride along at the same valid step,
+            # so the JSONL/wandb stream carries the FULL TxT accuracy matrix
+            # (and the reference's valid/ex_per_s, eval_utils.py:152-153) —
+            # one row per task per round — not just its column means
+            for k, v in val_log.items():
+                metrics[f"validation/{val_task}/{k.split('/', 1)[1]}"] = float(v)
 
-        metrics = {"validation/average_accuracy": float(np.mean(accuracy[:, task_id]))}
+        metrics["validation/average_accuracy"] = float(np.mean(accuracy[:, task_id]))
         LOGGER.info("Average score: %.2f", metrics["validation/average_accuracy"] * 100)
         if task_id > 0:
             bwt = float(
