@@ -56,7 +56,7 @@ def main() -> None:
     from mafed_tpu.models import vl_pythia
     from mafed_tpu.optim.optimizer import build_optimizer
     from mafed_tpu.optim.sched import linear_warmup_schedule
-    from mafed_tpu.training.flops import reference_window_flops
+    from mafed_tpu.training.flops import framework_window_flops, mfu, reference_window_flops
     from mafed_tpu.training.step import make_mafed_window_step
     from mafed_tpu.training.train_state import TrainState, split_params
     from __graft_entry__ import _example_batch
@@ -192,6 +192,17 @@ def main() -> None:
     ref_flops_per_ex = reference_window_flops(model_cfg, text_len, n_ce, b) / ex_per_window
     a100_ex_per_s = A100_BF16_PEAK * A100_MFU / ref_flops_per_ex
 
+    # our OWN model-FLOPs utilization (training/flops.py framework_window_
+    # flops: what this step actually computes, remat recompute excluded) —
+    # reported so round-over-round perf is self-auditing, independent of the
+    # analytic A100 comparator in vs_baseline
+    our_flops_per_ex = framework_window_flops(
+        model_cfg, text_len, n_ce, b,
+        vision_cached="patches" in batch,
+        teacher_cached="t_hs" in batch,
+    ) / ex_per_window
+    our_mfu = mfu(ex_per_s, our_flops_per_ex, chip="v5e")
+
     print(
         json.dumps(
             {
@@ -202,6 +213,7 @@ def main() -> None:
                 "value": round(ex_per_s, 2),
                 "unit": "examples/sec/chip",
                 "vs_baseline": round(ex_per_s / a100_ex_per_s, 3),
+                "mfu": round(our_mfu, 4),
             }
         )
     )

@@ -59,6 +59,52 @@ def mfu(examples_per_sec: float, flops_per_example: float, chip: str = "v5e") ->
     return examples_per_sec * flops_per_example / TPU_PEAK_FLOPS[chip]
 
 
+def framework_window_flops(
+    cfg: ModelConfig,
+    text_len: int,
+    n_ce: int,
+    batch: int,
+    *,
+    vision_cached: bool = True,
+    teacher_cached: bool = False,
+) -> float:
+    """Algorithmic FLOPs THIS framework's fused MAFED window computes
+    (training/step.py make_mafed_window_step) — the numerator of our own
+    MFU, so bench.py's perf claims are self-auditing (VERDICT r3 #3).
+
+    Counts model FLOPs in the PaLM-MFU convention: fwd + bwd (3x fwd for
+    trainable paths), EXCLUDING remat recompute — so the reported MFU is
+    conservative (the chip also executes ~1 extra fwd of recompute under
+    per-layer remat).
+
+    What the window actually runs at the defaults:
+      * lm_head only over the last label_len positions (vl_pythia.forward
+        loss_only fast path) — not the full 256+T sequence;
+      * the teacher early-exits after the deepest distilled tap
+        (num_hidden_layers - 2) with NO lm_head, fwd only;
+      * the trainable projector runs fwd+bwd on every microbatch, and fwd
+        on the teacher's distill pass;
+      * with the vision cache (trainer default) the EVA tower contributes
+        zero step FLOPs; uncached, ONE shared vision fwd per microbatch
+        (the fused step shares it between student and teacher).
+    """
+    seq = cfg.vision.num_patches + text_len
+    dec_fwd = decoder_flops_per_token(cfg) * seq + attention_flops(cfg, seq)
+    head = lm_head_flops(cfg, text_len)
+    proj = 2 * cfg.vision.num_patches * (
+        cfg.vision.embed_dim * cfg.hidden_size + cfg.hidden_size ** 2
+    )
+    student_ex = 3 * (dec_fwd + head + proj)
+    deepest = cfg.num_hidden_layers - 2
+    teacher_ex = 0.0 if teacher_cached else (
+        dec_fwd * deepest / cfg.num_hidden_layers + proj
+    )
+    vis_ex = 0.0 if vision_cached else vision_flops_per_image(cfg)
+    ce_example = student_ex + vis_ex
+    distill_example = student_ex + teacher_ex + vis_ex
+    return batch * (n_ce * ce_example + distill_example)
+
+
 def reference_window_flops(cfg: ModelConfig, text_len: int, n_ce: int, batch: int) -> float:
     """Analytic FLOPs the REFERENCE spends on one accumulation window of the
     featdistill workload (n_ce CE microbatches + 1 distill microbatch, batch

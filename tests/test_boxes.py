@@ -72,3 +72,23 @@ def test_flops_and_mfu():
     fl = distill_step_flops_per_example(cfg, text_len=80)
     assert 1e12 < fl < 1e13  # ~ a few TFLOP per example at 410M
     assert 0 < mfu(59.0, fl) < 1.0
+
+
+def test_framework_window_flops_orderings():
+    """Our own MFU numerator (bench.py): removing cached work must strictly
+    shrink the count, and the whole window stays below the reference's
+    (which pays per-microbatch vision + full-sequence lm_head)."""
+    from mafed_tpu.core.config import ModelConfig
+    from mafed_tpu.training.flops import framework_window_flops, reference_window_flops
+
+    cfg = ModelConfig()
+    kw = dict(text_len=80, n_ce=3, batch=16)
+    cached = framework_window_flops(cfg, **kw)  # vision cached (default)
+    uncached = framework_window_flops(cfg, vision_cached=False, **kw)
+    teacher_cached = framework_window_flops(cfg, teacher_cached=True, **kw)
+    assert teacher_cached < cached < uncached
+    # 4 microbatches' vision passes leave the step under the cache
+    from mafed_tpu.training.flops import vision_flops_per_image
+
+    assert uncached - cached == pytest.approx(4 * 16 * vision_flops_per_image(cfg), rel=1e-9)
+    assert uncached < reference_window_flops(cfg, 80, 3, 16)
