@@ -260,6 +260,13 @@ class TrainConfig:
     # per-epoch re-streaming of identical features. Tasks over budget fall
     # back to streaming. 0 disables. Requires vision_cache.
     device_vision_table_mb: int = 1024
+    # row storage for the device vision table: "bfloat16" (default —
+    # value-identical to the streamed features) or "int8" (per-patch
+    # symmetric quantization + f32 scale: ~2x rows per MB of budget and ~2x
+    # less gather traffic at <=0.8%/element error into a TRAINABLE
+    # projector; for budget-constrained tasks that would otherwise fall
+    # back to streaming)
+    vision_table_dtype: str = "bfloat16"
     # OPT-IN disk cache of the frozen distillation teacher's hidden states
     # over the fixed per-task memory set (data/teacher_cache.py): primed once
     # per task transition, the steady-state distill step then skips the
@@ -272,6 +279,14 @@ class TrainConfig:
     # transport while the step bench gains 4%).
     teacher_state_cache: bool = False
     teacher_cache_dir: Optional[str] = None  # default: {output_dir}/teacher_cache
+    # HBM budget for the device-resident TEACHER-STATE table
+    # (teacher_cache.DeviceTeacherTable): with --teacher_state_cache, a
+    # memory set whose primed states fit this budget ships to HBM once per
+    # task transition and memory batches carry 4-byte t_idx rows — the
+    # cache's +4% step win without its streaming-bandwidth tax. Memory sets
+    # over budget use the streaming TeacherStateView (the opt-in trade
+    # above). 0 forces streaming.
+    device_teacher_table_mb: int = 4096
     # host->device transfer pipelining (data/prefetch.py); 2 measured best
     # on the tunneled single chip, tune upward on real hosts
     prefetch_depth: int = 2

@@ -61,6 +61,16 @@ def collate_train(items: List[Dict], text_len: int, label_tail: Optional[int] = 
             "batch mixes cached teacher states and misses; prime the teacher "
             "cache over the full memory set before training"
         )
+    has_tidx = ["t_idx" in it for it in items]
+    if all(has_tidx):
+        # device teacher-state table (teacher_cache.DeviceTeacherTable):
+        # 4-byte rows; the runner gathers t_hs in HBM before the step
+        out["t_idx"] = np.asarray([it["t_idx"] for it in items], np.int32)
+    elif any(has_tidx):
+        raise ValueError(
+            "batch mixes teacher-table rows and misses; the table must cover "
+            "the full memory set"
+        )
     return out
 
 

@@ -18,7 +18,7 @@ import numpy as np
 
 
 class DevicePrefetcher:
-    def __init__(self, iterable: Iterable[Dict], sharding=None, depth: int = 2, device_keys=("input_ids", "attention_mask", "labels", "pixels", "patches", "patch_idx", "t_hs")) -> None:
+    def __init__(self, iterable: Iterable[Dict], sharding=None, depth: int = 2, device_keys=("input_ids", "attention_mask", "labels", "pixels", "patches", "patch_idx", "t_hs", "t_idx")) -> None:
         self.iterable = iterable
         self.sharding = sharding
         self.depth = max(1, depth)

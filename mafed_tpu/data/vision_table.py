@@ -61,31 +61,75 @@ def iter_image_keys(datasets: Iterable) -> Iterator[str]:
                 yield key
 
 
+def _quantize_rows(feats: np.ndarray):
+    """Symmetric per-(image, patch) int8 quantization: q = round(x/s),
+    s = absmax/127 along the feature dim. Keeps each patch vector's dynamic
+    range; dequant is one fused multiply in the gather jit."""
+    f32 = feats.astype(np.float32)
+    scale = np.abs(f32).max(axis=-1, keepdims=True) / 127.0  # [n, p, 1]
+    scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+    q = np.clip(np.rint(f32 / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
 class DeviceVisionTable:
-    """Replicated [n_images, n_patches, dim] bf16 feature table + key->row map.
+    """Replicated [n_images, n_patches, dim] feature table + key->row map.
+
+    Rows are stored bf16 (default — value-identical to the features collate
+    would have stacked) or int8 with a per-(image, patch) f32 scale
+    (--vision_table_dtype int8, VERDICT r3 #4b): ~2x rows per MB of HBM
+    budget and ~2x less gather traffic, at a bounded quantization error
+    (<=0.8% per element; the features feed a trainable projector). Dequant
+    runs inside the gather jit.
 
     `resolve` turns a batch's `patch_idx` rows back into `patches` with one
     on-device gather (jit-compiled once; output sharding follows the index
     sharding). `resolve_host` is the host-side variant for non-SPMD
     consumers (teacher-cache priming dispatches per-process local work)."""
 
-    def __init__(self, feats: np.ndarray, key_to_idx: Dict[str, int], mesh=None) -> None:
+    def __init__(self, feats: np.ndarray, key_to_idx: Dict[str, int], mesh=None, dtype: str = "bfloat16") -> None:
         import jax
         import jax.numpy as jnp
 
         self.key_to_idx = key_to_idx
-        self.nbytes = int(feats.nbytes)
-        self.host = feats
-        if mesh is not None:
-            sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-            # every process holds the identical host array (shared cache dir),
-            # so each one materializes its addressable replicas locally
-            self.table = jax.make_array_from_callback(
-                feats.shape, sharding, lambda idx: feats[idx]
-            )
+        self.dtype = dtype
+        if dtype == "int8":
+            q, scale = _quantize_rows(feats)
+            self.host = (q, scale)
+            self.nbytes = int(q.nbytes + scale.nbytes)
+
+            def _place(arr):
+                if mesh is None:
+                    return jax.device_put(arr)
+                sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+                return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+            self.table = (_place(q), _place(scale))
+
+            @jax.jit
+            def gather(table, idx):
+                tq, ts = table
+                rows = jnp.take(tq, idx, axis=0).astype(jnp.bfloat16)
+                s = jnp.take(ts, idx, axis=0).astype(jnp.bfloat16)
+                return rows * s
+
+            self._gather = gather
+        elif dtype == "bfloat16":
+            self.host = feats
+            self.nbytes = int(feats.nbytes)
+            if mesh is not None:
+                sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+                # every process holds the identical host array (shared cache
+                # dir), so each one materializes its addressable replicas
+                # locally
+                self.table = jax.make_array_from_callback(
+                    feats.shape, sharding, lambda idx: feats[idx]
+                )
+            else:
+                self.table = jax.device_put(feats)
+            self._gather = jax.jit(lambda table, idx: jnp.take(table, idx, axis=0))
         else:
-            self.table = jax.device_put(feats)
-        self._gather = jax.jit(lambda table, idx: jnp.take(table, idx, axis=0))
+            raise ValueError(f"vision_table_dtype must be bfloat16 or int8, got {dtype!r}")
         # lazily-placed per-process copy for non-collective dispatch (eval
         # decode on multi-process pods) — see resolve_local
         self._local = None
@@ -108,7 +152,16 @@ class DeviceVisionTable:
         if "patch_idx" not in batch:
             return batch
         out = dict(batch)
-        out["patches"] = self.host[np.asarray(out.pop("patch_idx"))]
+        idx = np.asarray(out.pop("patch_idx"))
+        if self.dtype == "int8":
+            q, scale = self.host
+            import ml_dtypes
+
+            out["patches"] = (
+                (q[idx].astype(np.float32) * scale[idx]).astype(ml_dtypes.bfloat16)
+            )
+        else:
+            out["patches"] = self.host[idx]
         return out
 
     def resolve_local(self, batch: Dict, sharding) -> Dict:
@@ -122,18 +175,23 @@ class DeviceVisionTable:
         import jax
 
         if self._local_sharding is not sharding:
-            self._local = jax.device_put(self.host, sharding)
+            if self.dtype == "int8":
+                self._local = tuple(jax.device_put(a, sharding) for a in self.host)
+            else:
+                self._local = jax.device_put(self.host, sharding)
             self._local_sharding = sharding
         out = dict(batch)
         out["patches"] = self._gather(self._local, out.pop("patch_idx"))
         return out
 
 
-def table_nbytes(n_keys: int, n_patches: int, dim: int) -> int:
+def table_nbytes(n_keys: int, n_patches: int, dim: int, dtype: str = "bfloat16") -> int:
+    if dtype == "int8":
+        return n_keys * n_patches * (dim + 4)  # int8 rows + f32 scale/patch
     return n_keys * n_patches * dim * 2  # bf16
 
 
-def build_table(cache, keys: List[str], mesh=None) -> DeviceVisionTable:
+def build_table(cache, keys: List[str], mesh=None, dtype: str = "bfloat16") -> DeviceVisionTable:
     """Assemble the device table from a warm disk cache (priming precedes
     table construction, so a miss is a hard bug, not a fallback)."""
     key_to_idx = {k: i for i, k in enumerate(keys)}
@@ -149,7 +207,7 @@ def build_table(cache, keys: List[str], mesh=None) -> DeviceVisionTable:
         if arr is None:
             raise RuntimeError(f"vision table: cache miss for {k!r} (prime first)")
         feats[i] = arr
-    return DeviceVisionTable(feats, key_to_idx, mesh=mesh)
+    return DeviceVisionTable(feats, key_to_idx, mesh=mesh, dtype=dtype)
 
 
 def attach(datasets: Iterable, table: Optional[DeviceVisionTable]) -> List:

@@ -253,20 +253,24 @@ class ContinualLearningTrainer:
         self._vt_attached = []
         self.runner.vision_table = None
 
+        table_dtype = getattr(cfg, "vision_table_dtype", "bfloat16")
         row_bytes = vt.table_nbytes(
-            1, n_vision_tokens(self.model_cfg), self.model_cfg.vision.embed_dim
+            1, n_vision_tokens(self.model_cfg), self.model_cfg.vision.embed_dim,
+            dtype=table_dtype,
         )
         budget = cfg.device_vision_table_mb * (1 << 20)
         for tier, datasets in tiers:
             keys = list(dict.fromkeys(vt.iter_image_keys(datasets)))
             if len(keys) * row_bytes > budget:
                 continue
-            table = vt.build_table(self.vision_cache, keys, mesh=self.runner.mesh)
+            table = vt.build_table(
+                self.vision_cache, keys, mesh=self.runner.mesh, dtype=table_dtype
+            )
             self._vt_attached = vt.attach(datasets, table)
             self.runner.vision_table = table
             LOGGER.info(
-                "vision table [%s]: %d unique images (%.0f MB) device-resident",
-                tier, len(keys), len(keys) * row_bytes / (1 << 20),
+                "vision table [%s, %s]: %d unique images (%.0f MB) device-resident",
+                tier, table_dtype, len(keys), len(keys) * row_bytes / (1 << 20),
             )
             return
         LOGGER.info(

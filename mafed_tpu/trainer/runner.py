@@ -130,6 +130,10 @@ class TaskRunner:
         # device-resident vision-feature table (data/vision_table.py), swapped
         # per task by the continual trainer; None = stream patches/pixels
         self.vision_table = None
+        # device-resident teacher-state table (teacher_cache.
+        # DeviceTeacherTable), swapped per task transition by the
+        # distillation strategy; None = stream t_hs / in-step teacher
+        self.teacher_table = None
         # accumulation-window fusion: microbatches per jit step (1 = the
         # per-microbatch optax.MultiSteps path)
         self.window = 1
@@ -177,26 +181,31 @@ class TaskRunner:
         # contend with step dispatch. Knob for real-host tuning.
         depth = max(1, getattr(self.config, "prefetch_depth", 2))
         pf = DevicePrefetcher(loader, sharding=self._batch_sharding, depth=depth)
-        if self.vision_table is None:
+        if self.vision_table is None and self.teacher_table is None:
             return pf
         return self._resolving_iter(pf)
 
     def _resolving_iter(self, iterable):
-        """Gather vision-table rows (patch_idx -> patches) as batches stream;
-        a generator so close() propagates to the producer thread."""
+        """Gather table rows (patch_idx -> patches, t_idx -> t_hs) as batches
+        stream; a generator so close() propagates to the producer thread."""
         it = iter(iterable)
         try:
             for batch in it:
-                yield self.vision_table.resolve(batch)
+                yield self.resolve_tables(batch)
         finally:
             close = getattr(it, "close", None)
             if close:
                 close()
 
-    def resolve_patches(self, batch):
-        """patch_idx -> patches via the attached table (no-op otherwise)."""
+    def resolve_tables(self, batch):
+        """Device-table rows -> arrays via the attached tables (no-op
+        otherwise): patch_idx -> patches (vision_table), t_idx -> t_hs
+        (teacher_table). Device-to-device gathers, so the wire transfer per
+        row stays 4 bytes."""
         if self.vision_table is not None and "patch_idx" in batch:
-            return self.vision_table.resolve(batch)
+            batch = self.vision_table.resolve(batch)
+        if self.teacher_table is not None and "t_idx" in batch:
+            batch = self.teacher_table.resolve(batch)
         return batch
 
     def eval_resolve(self, batch):
@@ -314,7 +323,7 @@ class TaskRunner:
             self._distill_step = make_distill_step(
                 self.model_cfg, self.config, self.tx, attn_impl=self.attn_impl
             )
-        return self._distill_step(state, teacher_trainable, batch, lang_coeffs)
+        return self._distill_step(state, teacher_trainable, self.resolve_tables(batch), lang_coeffs)
 
     # -- fused accumulation windows ---------------------------------------------
     def stack_window(self, batches):
@@ -338,10 +347,10 @@ class TaskRunner:
             # DevicePrefetcher): ONE stack + ONE async transfer per window.
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
             if wsh is None:
-                return self.resolve_patches(jax.tree.map(jax.device_put, stacked))
-            return self.resolve_patches(jax.device_put(stacked, wsh))
+                return self.resolve_tables(jax.tree.map(jax.device_put, stacked))
+            return self.resolve_tables(jax.device_put(stacked, wsh))
         if wsh is None:
-            return self.resolve_patches(jax.tree.map(lambda *xs: jnp.stack(xs), *batches))
+            return self.resolve_tables(jax.tree.map(lambda *xs: jnp.stack(xs), *batches))
 
         def assemble(*xs):
             per_dev: Dict[Any, list] = {}
@@ -353,7 +362,7 @@ class TaskRunner:
                 (n_mb,) + xs[0].shape, wsh, arrays
             )
 
-        return self.resolve_patches(jax.tree.map(assemble, *batches))
+        return self.resolve_tables(jax.tree.map(assemble, *batches))
 
     def ce_window_step(self, state, stacked):
         if self._ce_window_step is None:
@@ -385,7 +394,7 @@ class TaskRunner:
                 k: jax.device_put(v, self._batch_sharding) if isinstance(v, np.ndarray) else v
                 for k, v in distill_batch.items()
             }
-        distill_batch = self.resolve_patches(distill_batch)
+        distill_batch = self.resolve_tables(distill_batch)
         return self._mafed_window_step(state, teacher_trainable, ce_stacked, distill_batch, lang_coeffs)
 
     def adaptive_weights_step(self, trainable, frozen, batch):

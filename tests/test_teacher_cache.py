@@ -57,6 +57,54 @@ def test_view_attaches_states(tmp_path):
     assert "t_hs" not in view[1]  # miss stays absent (collate hard-fails on mixes)
 
 
+def test_device_table_gather_matches_streamed_states(tmp_path):
+    """HBM tier == streaming tier, bit-for-bit: the table gather returns
+    exactly the bf16 rows the TeacherStateView would have streamed."""
+    from mafed_tpu.data.collate import collate_train
+    from mafed_tpu.data.teacher_cache import (
+        DeviceTeacherTable,
+        TeacherIndexView,
+        build_teacher_table,
+        teacher_table_nbytes,
+    )
+
+    cache = TeacherStateCache(str(tmp_path), generation=0, n_states=2, seq_len=4, hidden=3)
+    rng = np.random.default_rng(3)
+    qids = ["q0", "q1", "q2"]
+    per_q = {q: rng.standard_normal((2, 4, 3)).astype(np.float32) for q in qids}
+    for q, s in per_q.items():
+        cache.save(q, s)
+
+    table = build_teacher_table(cache, qids, mesh=None)
+    assert isinstance(table, DeviceTeacherTable)
+    assert table.nbytes == teacher_table_nbytes(3, 2, 4, 3)
+
+    class Tiny:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return {
+                "question_id": qids[i],
+                "input_ids": [1, 2],
+                "labels": [-100, 2],
+                "patches": np.zeros((2, 3), np.float32),
+            }
+
+    idx_view = TeacherIndexView(Tiny(), table)
+    st_view = TeacherStateView(Tiny(), cache)
+    items_idx = [idx_view[i] for i in (2, 0, 1)]
+    items_st = [st_view[i] for i in (2, 0, 1)]
+    b_idx = collate_train(items_idx, text_len=4)
+    b_st = collate_train(items_st, text_len=4)
+    assert b_idx["t_idx"].tolist() == [2, 0, 1]
+    resolved = table.resolve(b_idx)
+    assert "t_idx" not in resolved
+    np.testing.assert_array_equal(
+        np.asarray(resolved["t_hs"], np.float32), b_st["t_hs"].astype(np.float32)
+    )
+
+
 def _counting_dataset(loads, qids=("q0", "q1", "q2")):
     class Counting:
         def __len__(self):
@@ -294,9 +342,12 @@ def test_distill_step_cached_teacher_matches_in_step():
 
 
 @pytest.mark.slow
-def test_e2e_featdistill_teacher_cache_matches_uncached(tmp_path):
+@pytest.mark.parametrize("table_mb", [4096, 0], ids=["hbm-table", "streaming"])
+def test_e2e_featdistill_teacher_cache_matches_uncached(tmp_path, table_mb):
     """2-task featdistill sequence with the teacher-state cache on vs off:
-    same final checkpoints (the cache must be a pure work-removal)."""
+    same final checkpoints (the cache must be a pure work-removal) — in both
+    tiers: the HBM table (device_teacher_table_mb budget, the default) and
+    disk streaming (budget 0)."""
     from safetensors.numpy import load_file
 
     from mafed_tpu.trainer.continual import ContinualLearningTrainer
@@ -315,6 +366,7 @@ def test_e2e_featdistill_teacher_cache_matches_uncached(tmp_path):
             epochs=[1, 2],
             accumulate_grad_batches=2,
             teacher_state_cache=cache_on,
+            device_teacher_table_mb=table_mb,
             log_every=100,
         )
         r = ContinualLearningTrainer(
@@ -322,8 +374,8 @@ def test_e2e_featdistill_teacher_cache_matches_uncached(tmp_path):
         ).main()
         return cfg, r
 
-    cfg_on, r_on = run(os.path.join(str(tmp_path), "on"), True)
-    cfg_off, r_off = run(os.path.join(str(tmp_path), "off"), False)
+    cfg_on, r_on = run(os.path.join(str(tmp_path), f"on{table_mb}"), True)
+    cfg_off, r_off = run(os.path.join(str(tmp_path), f"off{table_mb}"), False)
 
     # the cache was actually exercised
     assert os.path.isdir(os.path.join(cfg_on.output_dir, "teacher_cache", "gen0"))

@@ -68,6 +68,74 @@ def test_items_ship_rows_and_gather_matches_stream(tmp_path):
     assert "patches" in ds[0]
 
 
+def test_int8_table_halves_budget_and_bounds_error(tmp_path):
+    """--vision_table_dtype int8 (VERDICT r3 #4b): ~2x rows per MB, per-patch
+    symmetric quantization bounded at <=1/127 of each patch vector's absmax,
+    device and host resolves agree."""
+    model_cfg, cfg, cache, ds = _primed(tmp_path)
+    keys = list(dict.fromkeys(vt.iter_image_keys([ds])))
+    n_p, dim = model_cfg.vision.num_patches, model_cfg.vision.embed_dim
+
+    # at production dim (1024) int8 rows are ~2x denser; at this toy dim the
+    # 4-byte scale is a larger fraction, so just require a strict shrink here
+    assert vt.table_nbytes(1, 256, 1024, dtype="int8") < vt.table_nbytes(1, 256, 1024) / 1.9
+    assert vt.table_nbytes(1, n_p, dim, dtype="int8") < vt.table_nbytes(1, n_p, dim)
+
+    t16 = vt.build_table(cache, keys)
+    t8 = vt.build_table(cache, keys, dtype="int8")
+    assert t8.nbytes < t16.nbytes / 1.7
+
+    from mafed_tpu.data.collate import collate_train
+
+    vt.attach([ds], t8)
+    batch = collate_train([ds[i] for i in range(4)], text_len=16)
+    exact = np.asarray(t16.resolve(dict(batch))["patches"], np.float32)
+    quant = np.asarray(t8.resolve(dict(batch))["patches"], np.float32)
+    # per-(row, patch) error bound: half an int8 step of that patch's absmax,
+    # plus bf16 rounding of the dequant product
+    bound = np.abs(exact).max(axis=-1, keepdims=True) / 127.0 + 1e-6
+    assert (np.abs(exact - quant) <= bound).all()
+    host = np.asarray(t8.resolve_host(dict(batch))["patches"], np.float32)
+    np.testing.assert_allclose(host, quant, atol=np.abs(exact).max() / 100)
+    vt.attach([ds], None)
+
+
+def test_int8_table_e2e_accuracy_matches_bf16(tmp_path):
+    """2-task featdistill sequence with int8 vision-table rows: same accuracy
+    matrix as the value-identical bf16 table (quantization must not move the
+    metric at all on a tiny run)."""
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    def run(tag, dtype):
+        cfg = write_synthetic_vqa(str(tmp_path / tag))
+        cfg = cfg.replace(
+            cl_method="featdistill",
+            cl_memory=8,
+            replay_interval=2,
+            accumulate_grad_batches=2,
+            distillation_modality_weighing_strategy="balanced",
+            distillation_layer_weighing_strategy="discounted",
+            distillation_layer_discount=0.5,
+            vision_table_dtype=dtype,
+            output_dir=str(tmp_path / tag / "out"),
+        )
+        trainer = ContinualLearningTrainer(
+            cfg, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+        )
+        return trainer.main()
+
+    r8 = run("i8", "int8")
+    r16 = run("b16", "bfloat16")
+    np.testing.assert_allclose(
+        np.asarray(r8["accuracy_matrix"]), np.asarray(r16["accuracy_matrix"]), atol=1e-9
+    )
+
+
+test_int8_table_e2e_accuracy_matches_bf16 = pytest.mark.slow(
+    test_int8_table_e2e_accuracy_matches_bf16
+)
+
+
 def test_collate_rejects_mixed_rows():
     from mafed_tpu.data.collate import collate_train
 
@@ -197,7 +265,7 @@ def test_table_tiers_include_val_when_budget_allows(tmp_path, monkeypatch):
         datasets = []
 
     n_train = len(set(vt.iter_image_keys([ds])))  # 8
-    monkeypatch.setattr(vt, "table_nbytes", lambda n, p, d: n * (1 << 20))  # 1 MB/key
+    monkeypatch.setattr(vt, "table_nbytes", lambda n, p, d, **kw: n * (1 << 20))  # 1 MB/key
     val_ds = trainer.val_loaders["taskA"].dataset
 
     trainer.config = cfg.replace(device_vision_table_mb=1024)
@@ -239,7 +307,7 @@ def test_over_budget_falls_back_to_streaming(tmp_path, monkeypatch):
     assert "patch_idx" in ds[0]
 
     # a task over the HBM budget detaches everything and streams
-    monkeypatch.setattr(vt, "table_nbytes", lambda *a: 10**15)
+    monkeypatch.setattr(vt, "table_nbytes", lambda *a, **kw: 10**15)
     trainer._refresh_vision_table(S(), ds)
     assert trainer.runner.vision_table is None
     assert "patches" in ds[0]
