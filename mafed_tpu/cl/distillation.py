@@ -126,17 +126,38 @@ class FeatureDistillation(CLStrategy):
             TeacherStateCache,
             TeacherStateView,
             prime_teacher_cache,
+            resolve_teacher_cache_mode,
             teacher_seq_len,
         )
 
         cfg = self.config
-        if not getattr(cfg, "teacher_state_cache", False) or self.teacher_trainable is None:
+        mode = resolve_teacher_cache_mode(getattr(cfg, "teacher_state_cache", "off"))
+        if mode == "off" or self.teacher_trainable is None:
             runner.teacher_table = None
             return mem_dataset
         deepest_tap = max(self.layers) if self.layers else 0
         if cfg.distillation_coeff == 0 or not self.layers:
+            runner.teacher_table = None
             return mem_dataset  # pure-replay ablation: teacher never read
         seq_len = teacher_seq_len(self.model_cfg, runner.train_text_len)
+
+        from mafed_tpu.data.teacher_cache import teacher_table_nbytes
+
+        # the budget decision is a pure function of sizes known BEFORE
+        # priming, so "auto" can skip the (expensive) priming pass entirely
+        # for over-budget memory sets — and every process of a pod takes the
+        # same branch
+        n_mem = len(mem_dataset)
+        budget = getattr(cfg, "device_teacher_table_mb", 0) * (1 << 20)
+        need = teacher_table_nbytes(n_mem, deepest_tap + 1, seq_len, self.model_cfg.hidden_size)
+        if mode == "auto" and not (0 < need <= budget):
+            LOGGER.info(
+                "teacher cache auto: %.1f MB of states exceeds "
+                "device_teacher_table_mb=%d — keeping the in-step teacher",
+                need / (1 << 20), getattr(cfg, "device_teacher_table_mb", 0),
+            )
+            runner.teacher_table = None
+            return mem_dataset
         cache = TeacherStateCache(
             getattr(cfg, "teacher_cache_dir", None) or os.path.join(cfg.output_dir, "teacher_cache"),
             generation=self.task_id,
@@ -170,16 +191,9 @@ class FeatureDistillation(CLStrategy):
         # the OLD teacher. The budget decision is a pure function of sizes,
         # so every process of a pod takes the same branch.
         runner.teacher_table = None
-        from mafed_tpu.data.teacher_cache import (
-            TeacherIndexView,
-            build_teacher_table,
-            teacher_table_nbytes,
-        )
+        from mafed_tpu.data.teacher_cache import TeacherIndexView, build_teacher_table
         from mafed_tpu.data.vqa_dataset import question_id_of
 
-        n_mem = len(mem_dataset)
-        budget = getattr(cfg, "device_teacher_table_mb", 0) * (1 << 20)
-        need = teacher_table_nbytes(n_mem, deepest_tap + 1, seq_len, self.model_cfg.hidden_size)
         if 0 < need <= budget:
             qids = [question_id_of(mem_dataset, i) for i in range(n_mem)]
             table = build_teacher_table(cache, qids, mesh=runner.mesh)

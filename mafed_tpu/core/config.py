@@ -267,17 +267,22 @@ class TrainConfig:
     # projector; for budget-constrained tasks that would otherwise fall
     # back to streaming)
     vision_table_dtype: str = "bfloat16"
-    # OPT-IN disk cache of the frozen distillation teacher's hidden states
-    # over the fixed per-task memory set (data/teacher_cache.py): primed once
-    # per task transition, the steady-state distill step then skips the
+    # Teacher-state cache policy (data/teacher_cache.py): the frozen
+    # per-task teacher's hidden states over the fixed memory set are primed
+    # once per task transition and the steady-state distill step skips the
     # teacher forward entirely (99.8 -> 103.8 ex/s/chip step-isolated at
-    # 410M). Default OFF: the in-step early-exited teacher costs only ~4% of
-    # the window, while streaming the cached states costs ~15.8 MB/example
-    # (~410 MB/s/chip sustained disk+PCIe at canonical shapes, ~63 GB disk
-    # for the 4000-example memory) — a net win only on bandwidth-rich hosts
-    # (measured: integrated MAFED epochs collapse 12x through a ~30 MB/s
-    # transport while the step bench gains 4%).
-    teacher_state_cache: bool = False
+    # 410M).
+    #   "auto" (default) — engage ONLY when the primed states fit the
+    #     --device_teacher_table_mb HBM table: the step win with KB-scale
+    #     wire traffic (memory batches carry 4-byte t_idx rows). Memory
+    #     sets over budget keep the in-step early-exited teacher — never
+    #     the disk-streaming tier, whose ~15.8 MB/example t_hs rows cost
+    #     ~410 MB/s/chip sustained disk+PCIe at canonical 410M shapes.
+    #   "on" — always prime; over-budget sets stream from disk (a net win
+    #     only on bandwidth-rich hosts — measured: integrated MAFED epochs
+    #     collapse 12x through a ~30 MB/s transport while the step gains 4%).
+    #   "off" — in-step teacher always. Bool True/False mean "on"/"off".
+    teacher_state_cache: str = "auto"
     teacher_cache_dir: Optional[str] = None  # default: {output_dir}/teacher_cache
     # HBM budget for the device-resident TEACHER-STATE table
     # (teacher_cache.DeviceTeacherTable): with --teacher_state_cache, a

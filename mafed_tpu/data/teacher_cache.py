@@ -41,6 +41,24 @@ import numpy as np
 from mafed_tpu.data.diskcache import ArrayDiskCache
 
 
+def resolve_teacher_cache_mode(value) -> str:
+    """Normalize --teacher_state_cache to one of "off"/"auto"/"on".
+
+    The flag predates the HBM table tier as a bool (True = prime + stream),
+    so bools and their string spellings stay valid: True/"1"/"true" mean
+    "on", False/"0"/"false"/"" mean "off"."""
+    if isinstance(value, bool):
+        return "on" if value else "off"
+    mode = str(value).strip().lower()
+    if mode in ("1", "true", "yes"):
+        return "on"
+    if mode in ("0", "false", "no", "none", ""):
+        return "off"
+    if mode not in ("off", "auto", "on"):
+        raise ValueError(f"teacher_state_cache must be off/auto/on, got {value!r}")
+    return mode
+
+
 class TeacherStateCache(ArrayDiskCache):
     """One .npy of [n_states, seq_len, hidden] (seq = vision ++ text) per
     (teacher generation, question_id), under base_dir/gen{g}/. The generation

@@ -55,7 +55,12 @@ def main() -> None:
         # throughput by ~20%)
         log_every=int(os.environ.get("SMOKE_LOG_EVERY", "50")),
         remat_policy=os.environ.get("SMOKE_REMAT_POLICY", ""),
-        teacher_state_cache=os.environ.get("SMOKE_TEACHER_CACHE", "0") == "1",
+        # off/auto/on (legacy 0/1 accepted by resolve_teacher_cache_mode)
+        teacher_state_cache=os.environ.get("SMOKE_TEACHER_CACHE", "auto"),
+        # SMOKE_TEACHER_TABLE_MB=0 forces the streaming TeacherStateView tier
+        # (the r3 opt-in trade); default keeps the HBM-resident teacher table
+        device_teacher_table_mb=int(os.environ.get("SMOKE_TEACHER_TABLE_MB", "4096")),
+        vision_table_dtype=os.environ.get("SMOKE_VISION_TABLE_DTYPE", "bfloat16"),
         # SMOKE_VISION_TABLE_MB=0 streams patches per batch (the r2/r3 default
         # path); default keeps the device-resident feature table
         device_vision_table_mb=int(os.environ.get("SMOKE_VISION_TABLE_MB", "1024")),

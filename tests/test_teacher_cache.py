@@ -391,3 +391,75 @@ def test_e2e_featdistill_teacher_cache_matches_uncached(tmp_path, table_mb):
                 a[k].astype(np.float32), b[k].astype(np.float32),
                 rtol=2e-3, atol=2e-3, err_msg=f"{task}:{k}",
             )
+
+
+def test_resolve_teacher_cache_mode():
+    """--teacher_state_cache tri-state (off/auto/on) with bool back-compat:
+    True/False (tests, pre-r4 JSON configs) mean on/off."""
+    from mafed_tpu.data.teacher_cache import resolve_teacher_cache_mode as resolve
+
+    assert resolve(True) == "on" and resolve(False) == "off"
+    assert resolve("auto") == "auto" and resolve("AUTO") == "auto"
+    assert resolve("on") == "on" and resolve("off") == "off"
+    assert resolve("1") == "on" and resolve("0") == "off"
+    assert resolve("") == "off"
+    with pytest.raises(ValueError):
+        resolve("sometimes")
+
+
+@pytest.mark.slow
+def test_auto_mode_budget_policy(tmp_path):
+    """"auto" (the default) engages the teacher cache ONLY when the memory
+    set's states fit the device_teacher_table_mb HBM table; over budget it
+    must keep the in-step teacher — never the streaming tier — and must not
+    even prime the disk cache (canonical 4000-example memories would write
+    ~63 GB nobody reads). Training must be invariant across all three
+    (in-step teacher, auto+table, auto-over-budget): the cache is a pure
+    work-removal (training/step.py per-microbatch equivalence)."""
+    from safetensors.numpy import load_file
+
+    from mafed_tpu.trainer.continual import ContinualLearningTrainer
+
+    def run(name, mode, table_mb):
+        cfg = write_synthetic_vqa(str(tmp_path), tasks=("taskA", "taskB"), n_train=16, n_val=4)
+        cfg = cfg.replace(
+            cl_method="featdistill",
+            cl_memory=8,
+            replay_interval=4,
+            distillation_coeff=1.0,
+            replay_coeff=1.0,
+            distillation_modality_weighing_strategy="balanced",
+            distillation_layer_weighing_strategy="discounted",
+            output_dir=os.path.join(str(tmp_path), name),
+            epochs=[1, 2],
+            accumulate_grad_batches=2,
+            teacher_state_cache=mode,
+            device_teacher_table_mb=table_mb,
+            log_every=100,
+        )
+        r = ContinualLearningTrainer(
+            cfg, model_cfg=tiny_model_cfg(), synthetic_images=True, use_mesh=False
+        ).main()
+        return cfg, r
+
+    cfg_off, r_off = run("off", "off", 4096)
+    cfg_fit, r_fit = run("auto_fit", "auto", 4096)
+    cfg_over, r_over = run("auto_over", "auto", 0)
+
+    # under budget: primed + table engaged; over budget: no priming at all
+    assert os.path.isdir(os.path.join(cfg_fit.output_dir, "teacher_cache", "gen0"))
+    assert not os.path.isdir(os.path.join(cfg_over.output_dir, "teacher_cache"))
+
+    for r in (r_fit, r_over):
+        np.testing.assert_allclose(
+            np.asarray(r["accuracy_matrix"]), np.asarray(r_off["accuracy_matrix"]), atol=1e-6
+        )
+    for task in ("taskA", "taskB"):
+        base = load_file(os.path.join(cfg_off.output_dir, "ckpt", f"{task}_best.safetensors"))
+        for cfg_x in (cfg_fit, cfg_over):
+            other = load_file(os.path.join(cfg_x.output_dir, "ckpt", f"{task}_best.safetensors"))
+            for k in base:
+                np.testing.assert_allclose(
+                    base[k].astype(np.float32), other[k].astype(np.float32),
+                    rtol=2e-3, atol=2e-3, err_msg=f"{cfg_x.output_dir}:{task}:{k}",
+                )
