@@ -21,6 +21,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_attention.py 
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -100,34 +101,56 @@ def main() -> None:
         print(f"upstream kernel unavailable: {type(exc).__name__}: {exc}")
 
     iters = 8
+    # BENCH_INNER=R repeats the step R+1 times INSIDE one jit program
+    # (lax.fori_loop threading q), so per-iter time is pure device time —
+    # host dispatch / tunnel round-trip artifacts amortize away. Measured
+    # need: fwd-only programs are so short (<5 ms) that per-dispatch timing
+    # through the tunnel reads a flat ~195 ms regardless of shape.
+    inner = int(os.environ.get("BENCH_INNER", "0"))
 
     for name, fn in fns.items():
         for mode in ("fwd", "grad"):
+            # k/v must be jit ARGUMENTS: closure-captured device arrays bake
+            # into the program as multi-MB constants, which the remote-
+            # compile tunnel turns into minutes-long compiles and a flat
+            # ~195 ms/dispatch re-upload tax (same trap bench.py documents)
             if mode == "fwd":
-                def step(q):
+                def step(q, k, v):
                     return jnp.sum(fn(q, k, v).astype(jnp.float32))
             else:
-                def step(q):
+                def step(q, k, v):
                     return jax.grad(
                         lambda qq: jnp.sum(fn(qq, k, v).astype(jnp.float32) ** 2)
                     )(q).astype(jnp.float32).sum()
 
-            jstep = jax.jit(step)
+            if inner:
+                def repeated(q0, k, v, _step=step):
+                    def body(i, qq):
+                        r = _step(qq, k, v)
+                        return qq + (r * 1e-12).astype(qq.dtype)
+                    return _step(jax.lax.fori_loop(0, inner, body, q0), k, v)
+
+                jstep = jax.jit(repeated)
+                calls, per_call = 2, inner + 1
+            else:
+                jstep = jax.jit(step)
+                calls, per_call = iters, 1
             try:
                 t0 = time.perf_counter()
-                out = jstep(q)
+                out = jstep(q, k, v)
                 float(out)
                 compile_s = time.perf_counter() - t0
                 # thread state: q shifts by a tiny multiple of the result
                 qq = q
                 t0 = time.perf_counter()
                 acc = 0.0
-                for _ in range(iters):
-                    r = jstep(qq)
+                for _ in range(calls):
+                    r = jstep(qq, k, v)
                     qq = qq + (r * 1e-12).astype(qq.dtype)
                 acc = float(r)
-                dt = (time.perf_counter() - t0) / iters
-                print(f"{name:9s} {mode:4s}: {dt*1e3:8.2f} ms/iter  (compile {compile_s:.1f}s, chk {acc:.1f})", flush=True)
+                dt = (time.perf_counter() - t0) / (calls * per_call)
+                tag = f" inner={inner}" if inner else ""
+                print(f"{name:9s} {mode:4s}: {dt*1e3:8.2f} ms/iter{tag}  (compile {compile_s:.1f}s, chk {acc:.1f})", flush=True)
             except Exception as exc:
                 print(f"{name:9s} {mode:4s}: FAILED {type(exc).__name__}: {str(exc)[:200]}", flush=True)
 
