@@ -127,6 +127,15 @@ def main() -> None:
     ref_flops = _reference_eval_flops_per_example(model_cfg, text_len)
     a100_ex_per_s = A100_BF16_PEAK * A100_MFU / ref_flops
 
+    # our OWN decode MFU (framework FLOPs / measured time / v5e peak) — the
+    # same self-auditing number bench.py reports for the training window;
+    # KV-cached decode is HBM-bound so this is far below the training MFU
+    from mafed_tpu.training.flops import framework_decode_flops_per_example, mfu
+
+    our_flops = framework_decode_flops_per_example(
+        model_cfg, text_len, MAX_NEW,
+        vision_cached=os.environ.get("MAFED_BENCH_VISION", "cached") != "uncached",
+    )
     print(
         json.dumps(
             {
@@ -134,6 +143,7 @@ def main() -> None:
                 "value": round(ex_per_s, 2),
                 "unit": "examples/sec/chip",
                 "vs_baseline": round(ex_per_s / a100_ex_per_s, 3),
+                "mfu": round(mfu(ex_per_s, our_flops, chip="v5e"), 4),
             }
         )
     )

@@ -127,3 +127,33 @@ def reference_window_flops(cfg: ModelConfig, text_len: int, n_ce: int, batch: in
     ce_example = vis + 3 * (dec_fwd + head_full)
     distill_example = 2 * vis + 3 * (dec_fwd + head_full) + (dec_fwd + head_full)
     return batch * (n_ce * ce_example + distill_example)
+
+
+def framework_decode_flops_per_example(
+    cfg: ModelConfig,
+    text_len: int,
+    max_new: int,
+    *,
+    vision_cached: bool = True,
+) -> float:
+    """Algorithmic FLOPs of THIS framework's greedy decode per example
+    (evaluation/decode.py: one prefill over vision+text, then max_new-1
+    KV-cached single-token steps; logits only at the sampled position).
+    The numerator of bench_eval.py's self-reported MFU. With the vision
+    cache (trainer default) the EVA tower contributes zero; the trainable
+    projector always runs."""
+    seq0 = cfg.vision.num_patches + text_len
+    proj = 2 * cfg.vision.num_patches * (
+        cfg.vision.embed_dim * cfg.hidden_size + cfg.hidden_size ** 2
+    )
+    total = proj + (0.0 if vision_cached else vision_flops_per_image(cfg))
+    # prefill: full fwd over seq0, logits for the last position only
+    total += decoder_flops_per_token(cfg) * seq0 + attention_flops(cfg, seq0)
+    total += lm_head_flops(cfg, 1)
+    # cached steps: one query token against the growing KV prefix
+    for k in range(1, max_new):
+        seq = seq0 + k
+        total += decoder_flops_per_token(cfg)
+        total += attention_flops(cfg, seq) / seq
+        total += lm_head_flops(cfg, 1)
+    return total

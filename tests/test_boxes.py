@@ -92,3 +92,32 @@ def test_framework_window_flops_orderings():
 
     assert uncached - cached == pytest.approx(4 * 16 * vision_flops_per_image(cfg), rel=1e-9)
     assert uncached < reference_window_flops(cfg, 80, 3, 16)
+
+
+def test_framework_decode_flops_orderings():
+    """bench_eval.py's MFU numerator: cached steps must cost far less than
+    re-prefilling (the whole point of the KV-cache path), vision-cached
+    strictly less than uncached, and the total below the reference's
+    use_cache=False loop which re-runs vision + full lm_head every token."""
+    from mafed_tpu.core.config import ModelConfig
+    from mafed_tpu.training.flops import (
+        attention_flops,
+        decoder_flops_per_token,
+        framework_decode_flops_per_example,
+        vision_flops_per_image,
+    )
+
+    cfg = ModelConfig()
+    one = framework_decode_flops_per_example(cfg, 64, 1)
+    ten = framework_decode_flops_per_example(cfg, 64, 10)
+    uncached = framework_decode_flops_per_example(cfg, 64, 10, vision_cached=False)
+    assert one < ten < uncached
+    assert uncached - ten == pytest.approx(vision_flops_per_image(cfg), rel=1e-9)
+    # 9 cached steps cost less than ONE extra prefill would
+    seq0 = cfg.vision.num_patches + 64
+    prefill = decoder_flops_per_token(cfg) * seq0 + attention_flops(cfg, seq0)
+    assert (ten - one) < prefill
+    # and far below the reference greedy loop (bench_eval comparator)
+    import bench_eval
+
+    assert ten < bench_eval._reference_eval_flops_per_example(cfg, 64)
