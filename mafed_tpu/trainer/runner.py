@@ -473,6 +473,7 @@ class TaskRunner:
         from mafed_tpu.utils.checkpoint import save_task_checkpoint
 
         main = is_main_process()
+        t0 = time.time()
         os.makedirs(resume_dir, exist_ok=True)
         if main:
             save_task_checkpoint(merge_params(state.trainable, state.frozen), self.model_cfg, os.path.join(resume_dir, "model.safetensors"))
@@ -502,6 +503,19 @@ class TaskRunner:
             # meta is the COMMIT MARKER for the whole bundle (written last,
             # after model/opt_state — see atomic_json_commit)
             atomic_json_commit(os.path.join(resume_dir, "fit_state.json"), meta)
+        # attribute the bundle tax explicitly: integrated wall-clock deltas
+        # between resume_bundle_every settings must be explainable from these
+        # lines alone (VERDICT r3 #6)
+        bundle_s = time.time() - t0
+        LOGGER.info(
+            "resume bundle (task %s epoch %s) saved in %.1fs",
+            meta.get("task_id"), meta.get("epoch"), bundle_s,
+        )
+        if self.metrics is not None:
+            self.metrics.log_metrics(
+                {f"task_{meta.get('task_id')}/bundle_save_s": round(bundle_s, 2)},
+                step=meta.get("global_step", 0),
+            )
 
     def _load_resume_bundle(self, resume_dir: str, state: TrainState):
         import orbax.checkpoint as ocp

@@ -89,6 +89,7 @@ def main() -> None:
     )
     # steady-state integrated throughput: later epochs run warm-compiled
     epoch_rates = {}
+    bundle_saves = {}
     metrics_path = os.path.join(cfg.output_dir, "log", "metrics.jsonl")
     if os.path.exists(metrics_path):
         with open(metrics_path) as f:
@@ -97,6 +98,8 @@ def main() -> None:
                 for k, v in rec.items():
                     if k.endswith("train_ex_per_s"):
                         epoch_rates.setdefault(k, []).append(v)
+                    elif k.endswith("bundle_save_s"):
+                        bundle_saves.setdefault(k, []).append(v)
     print(
         json.dumps(
             {
@@ -105,6 +108,7 @@ def main() -> None:
                 "wall_s": round(wall, 1),
                 "accuracy_matrix": result["accuracy_matrix"],
                 "train_ex_per_s": epoch_rates,
+                "bundle_save_s": bundle_saves,
                 "workdir": workdir,
             }
         )

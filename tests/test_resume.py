@@ -71,6 +71,16 @@ def test_mid_task_resume(tmp_path):
     meta = json.load(open(os.path.join(resume_dir, "fit_state.json")))
     assert meta["task_id"] == 0 and meta["epoch"] == 1
 
+    # every bundle save is attributed in the metrics stream (the integrated
+    # wall-clock delta between resume_bundle_every settings must be
+    # explainable from these records alone)
+    saves = []
+    with open(os.path.join(cfg.output_dir, "log", "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            saves += [v for k, v in rec.items() if k.endswith("bundle_save_s")]
+    assert len(saves) == 2 and all(s >= 0 for s in saves)  # one per epoch
+
     # resume run: starts at epoch 2 (beyond epochs=[2]) -> zero extra epochs,
     # completes evaluation without retraining
     cfg2 = cfg.replace(resume_from_checkpoint=resume_dir)
