@@ -107,6 +107,23 @@ def main() -> None:
     # need: fwd-only programs are so short (<5 ms) that per-dispatch timing
     # through the tunnel reads a flat ~195 ms regardless of shape.
     inner = int(os.environ.get("BENCH_INNER", "0"))
+    # BENCH_CONSUMER=proj feeds the attention output into a [D, D] projection
+    # matmul (what every real decoder layer does) instead of a bare sum.
+    # CAUTION on fwd-only WALL readings through the remote-TPU tunnel: the
+    # xla fwd rows read 80-93 ms/iter at VQA shapes while a jax.profiler
+    # trace of the same program shows 1.2 ms/iter of device self-time — the
+    # wall is per-dispatch host/tunnel overhead (plausibly the ~350 MB
+    # [B,H,T,T] f32 transient's per-call allocation), not compute, and a
+    # proj consumer doesn't change it. For cross-impl decisions use device
+    # self-time (scripts/profile_window.py summarize over a trace of this
+    # step); the r4 numbers live in docs/ARCHITECTURE.md.
+    consumer = os.environ.get("BENCH_CONSUMER", "sum")
+    w_proj = jnp.asarray(rng.standard_normal((D, D)), jnp.bfloat16)
+
+    def consume(o):
+        if consumer == "proj":
+            o = jnp.einsum("bhqd,de->bhqe", o, w_proj)
+        return jnp.sum(o.astype(jnp.float32))
 
     for name, fn in fns.items():
         for mode in ("fwd", "grad"):
@@ -116,7 +133,7 @@ def main() -> None:
             # ~195 ms/dispatch re-upload tax (same trap bench.py documents)
             if mode == "fwd":
                 def step(q, k, v):
-                    return jnp.sum(fn(q, k, v).astype(jnp.float32))
+                    return consume(fn(q, k, v))
             else:
                 def step(q, k, v):
                     return jax.grad(
