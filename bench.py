@@ -29,7 +29,7 @@ batches, full-sequence lm_head, teacher logits) at 35% MFU of A100 bf16 peak
 BASELINE.json's >=5x target applies to a v5e-8 slice (8 chips x this
 per-chip number under DP).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu"}.
 """
 
 from __future__ import annotations

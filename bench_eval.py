@@ -18,7 +18,7 @@ derived from analytic FLOPs at 35% MFU of A100 bf16 peak (312 TFLOP/s) —
 the same method as bench.py's comparator (the repo publishes no numbers,
 BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu"}.
 """
 
 from __future__ import annotations
