@@ -127,6 +127,12 @@ class TaskRunner:
         self._ewc_window_step: Optional[Callable] = None
         self._mafed_window_step: Optional[Callable] = None
         self._ckptr = None  # persistent orbax checkpointer for resume bundles
+        # bundle-save caches (_save_resume_bundle): reset per fit() so a
+        # re-invoked task id can never alias a stale frozen tower or skip a
+        # best.safetensors write on a tied best_acc (ADVICE r4)
+        self._bundle_frozen_host = None
+        self._bundle_frozen_task = None
+        self._bundle_best_key = None
         # device-resident vision-feature table (data/vision_table.py), swapped
         # per task by the continual trainer; None = stream patches/pixels
         self.vision_table = None
@@ -480,7 +486,7 @@ class TaskRunner:
             # host ONCE per task instead of re-fetching ~0.6 GB from device
             # for model.safetensors AND best.safetensors on every bundle
             task_key = meta.get("task_id")
-            if getattr(self, "_bundle_frozen_task", None) != task_key:
+            if self._bundle_frozen_host is None or self._bundle_frozen_task != task_key:
                 self._bundle_frozen_host = jax.tree.map(np.asarray, state.frozen)
                 self._bundle_frozen_task = task_key
             frozen_host = self._bundle_frozen_host
@@ -491,7 +497,8 @@ class TaskRunner:
             best_key = (task_key, meta.get("best_acc"))
             best_path = os.path.join(resume_dir, "best.safetensors")
             if best_trainable is not None and not (
-                getattr(self, "_bundle_best_key", None) == best_key
+                self._bundle_best_key is not None
+                and self._bundle_best_key == best_key
                 and os.path.exists(best_path)
             ):
                 save_task_checkpoint(merge_params(best_trainable, frozen_host), self.model_cfg, best_path)
@@ -574,6 +581,12 @@ class TaskRunner:
     ) -> Tuple[TrainState, Dict[str, Any], Dict]:
         """Train one task with early stopping; returns (state, best_params, log)."""
         loader = self.make_train_loader(train_dataset, shuffle=True, seed=self.config.seed + task_id)
+        # invalidate bundle-save caches: a fresh fit must re-materialize the
+        # frozen tower and never skip the first best.safetensors write even
+        # if (task_id, best_acc) collides with a previous in-process fit
+        self._bundle_frozen_host = None
+        self._bundle_frozen_task = None
+        self._bundle_best_key = None
         best_acc = -float("inf")
         best_trainable = None
         wait = 0
