@@ -136,17 +136,20 @@ def main() -> None:
         model_cfg, text_len, MAX_NEW,
         vision_cached=os.environ.get("MAFED_BENCH_VISION", "cached") != "uncached",
     )
-    print(
-        json.dumps(
-            {
-                "metric": "greedy_vqa_decode_examples_per_sec_per_chip",
-                "value": round(ex_per_s, 2),
-                "unit": "examples/sec/chip",
-                "vs_baseline": round(ex_per_s / a100_ex_per_s, 3),
-                "mfu": round(mfu(ex_per_s, our_flops, chip="v5e"), 4),
-            }
-        )
-    )
+    line = {
+        "metric": "greedy_vqa_decode_examples_per_sec_per_chip",
+        "value": round(ex_per_s, 2),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(ex_per_s / a100_ex_per_s, 3),
+        "mfu": round(mfu(ex_per_s, our_flops, chip="v5e"), 4),
+    }
+    print(json.dumps(line))
+    # round-over-round artifact next to the training BENCH_r*.json (VERDICT
+    # r4 #8): eval perf is auditable without digging through docs
+    out = os.environ.get("MAFED_BENCH_EVAL_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(line, f)
 
 
 if __name__ == "__main__":

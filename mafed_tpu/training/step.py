@@ -172,6 +172,25 @@ def _grad_norm_metric(grads, new_opt_state) -> jax.Array:
         return optax_global_norm(grads)
 
 
+def _merge_window(x):
+    """Merge a [n_mb, B, ...] microbatch stack to [n_mb*B, ...] with the
+    BATCH dim major, so a 'data'-sharded B stays sharded through the merge.
+
+    GSPMD cannot express the output sharding of reshape([n_mb, B_sharded]
+    -> [n_mb*B]) — output shards would interleave microbatches — so the
+    direct reshape makes XLA all-gather the stack and run the merged pass
+    REPLICATED on every chip: per-chip compute and activation memory at
+    GLOBAL batch size. (Caught by the v5e-8 AOT compile,
+    scripts/scale_bound.py: the dp8 410M window exceeded 16 GB HBM.)
+    Swapping to [B, n_mb, ...] first makes the merge a pure local reshape:
+    device k's output rows are exactly its input rows. Row order changes,
+    but every consumer reduces a per-sample mean, which is
+    permutation-invariant; text and patch/pixel stacks merge through this
+    same function, so row alignment between them is preserved.
+    """
+    return x.swapaxes(0, 1).reshape((-1,) + x.shape[2:])
+
+
 def make_ce_window_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
@@ -210,7 +229,7 @@ def make_ce_window_step(
     policy = resolve_remat_policy(getattr(train_cfg, "remat_policy", ""))
 
     def step(state: TrainState, batches, ewc_state=None):
-        merged = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batches)
+        merged = jax.tree.map(_merge_window, batches)
 
         def loss_fn(trainable):
             # remat: the n_mb*b-row fused pass keeps per-layer residuals only
@@ -540,12 +559,10 @@ def make_mafed_window_step(
             # the fused [n_ce*b] CE pass — the lax.scan fallback consumes
             # each microbatch's own mb["patches"] inside _ce_loss instead.
             if fuse_ce_batch:
-                ce_patches = ce_batches["patches"].reshape(
-                    (-1,) + ce_batches["patches"].shape[2:]
-                ).astype(dtype)
+                ce_patches = _merge_window(ce_batches["patches"]).astype(dtype)
             distill_patches = distill_batch["patches"].astype(dtype)
         elif share_vision:
-            merged_px = ce_batches["pixels"].reshape((-1,) + ce_batches["pixels"].shape[2:])
+            merged_px = _merge_window(ce_batches["pixels"])
             all_px = _prep_pixels(
                 {"pixels": jnp.concatenate([merged_px, distill_batch["pixels"]], axis=0)},
                 model_cfg, dtype,
@@ -574,7 +591,7 @@ def make_mafed_window_step(
             # at once — measured OOM at 410M; the combined loss lets XLA
             # run bwd(distill) then bwd(CE) into a single grads buffer.
             if fuse_ce_batch:
-                merged = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), ce_batches)
+                merged = jax.tree.map(_merge_window, ce_batches)
                 ce_loss = ce_loss_fn(trainable, merged)
             else:
                 def body(loss_sum, mb):
