@@ -73,12 +73,30 @@ def synthetic_config(root: str, tasks=("taskA", "taskB")) -> TrainConfig:
 
 LEARNABLE_QUESTION = "what do you see"
 
-# hue classes (task "hue") and luminance classes (task "light"): the answer
-# is a pure function of the image pixels, so a model that looks at the image
-# can score ~1.0 and a model that ignores it cannot beat the class prior.
-# Both tasks share the SAME question string, so sequential finetuning on
-# "light" directly interferes with "hue"'s conditional — the forgetting the
-# CL methods exist to prevent (reference train.py:61-67 measures it as BWT).
+
+def _half_image(bright_half: str) -> np.ndarray:
+    """28x28 image, one half near-white (220) the other mid-gray (100)."""
+    img = np.full((28, 28, 3), 100, np.uint8)
+    if bright_half == "left":
+        img[:, :14] = 220
+    elif bright_half == "right":
+        img[:, 14:] = 220
+    elif bright_half == "up":
+        img[:14, :] = 220
+    elif bright_half == "down":
+        img[14:, :] = 220
+    return img
+
+
+# Learnable visual tasks: the answer is a pure function of the image pixels,
+# so a model that looks at the image can score ~1.0 and a model that ignores
+# it cannot beat the class prior. All visual tasks share the SAME question
+# string by default, so sequential finetuning on a later task directly
+# interferes with earlier tasks' conditionals — the forgetting the CL methods
+# exist to prevent (reference train.py:61-67 measures it as BWT). Class
+# values are either a solid RGB base or a full 28x28x3 base image; answer
+# vocabularies are disjoint across tasks (reference ContVQA protocol has 5
+# tasks per order, scripts/run_seed42.sh:6).
 HUE_CLASSES = {
     "red": (200, 30, 30),
     "green": (30, 200, 30),
@@ -86,7 +104,40 @@ HUE_CLASSES = {
     "yellow": (200, 200, 30),
 }
 LIGHT_CLASSES = {"bright": (235, 235, 235), "dark": (20, 20, 20)}
-LEARNABLE_TASKS = {"hue": HUE_CLASSES, "light": LIGHT_CLASSES}
+SIDE_CLASSES = {"left": _half_image("left"), "right": _half_image("right")}
+VERT_CLASSES = {"up": _half_image("up"), "down": _half_image("down")}
+TONE_CLASSES = {"warm": (230, 140, 20), "cool": (20, 150, 170)}
+# "echo" is TEXT-informative: the answer is spelled out in the question and
+# every image is the same mid-gray — the complement of the visual tasks, used
+# to test that adaptive modality weighting orders vision vs text correctly
+# (reference distillation_loss_weights.py:91-146).
+ECHO_CLASSES = {w: (128, 128, 128) for w in ("alpha", "beta", "delta", "omega")}
+LEARNABLE_TASKS = {
+    "hue": HUE_CLASSES,
+    "light": LIGHT_CLASSES,
+    "side": SIDE_CLASSES,
+    "vert": VERT_CLASSES,
+    "tone": TONE_CLASSES,
+    "echo": ECHO_CLASSES,
+}
+# Per-task question strings for the distinct-question variant (disjoint
+# informative parameters — the interference regime diagonal-Fisher EWC can
+# plausibly counter, unlike the shared-question/disjoint-answer regime).
+TASK_QUESTIONS = {
+    "hue": "what color is it",
+    "light": "how bright is it",
+    "side": "which side is lit",
+    "vert": "is it lit on top",
+    "tone": "is the tint warm",
+}
+
+
+def _task_question(task: str, answer: str, distinct: bool) -> str:
+    if task == "echo":
+        return f"say {answer}"
+    if distinct:
+        return TASK_QUESTIONS[task]
+    return LEARNABLE_QUESTION
 
 
 def write_learnable_vqa(
@@ -94,10 +145,13 @@ def write_learnable_vqa(
     tasks=("hue", "light"),
     n_train: int = 48,
     n_val: int = 16,
+    distinct_questions: bool = False,
 ) -> TrainConfig:
-    """A deterministic, LEARNABLE 2-task ContVQA fixture: real image files
-    whose pixels determine the answer (VERDICT r3 #1 — the learning-signal
-    oracle synthetic noise images cannot provide)."""
+    """A deterministic, LEARNABLE ContVQA fixture: real image files whose
+    pixels (or, for "echo", whose question text) determine the answer
+    (VERDICT r3 #1 — the learning-signal oracle synthetic noise images cannot
+    provide). `distinct_questions=True` gives each task its own question
+    string (disjoint informative parameters — the EWC-friendly regime)."""
     from PIL import Image
 
     img_dir = os.path.join(root, "images")
@@ -111,11 +165,16 @@ def write_learnable_vqa(
         for i in range(n):
             answer, base = classes[i % len(classes)]
             fname = f"{prefix}{i}.png"
-            # solid class color + small deterministic noise so every image is
-            # unique but trivially classifiable
-            pix = np.clip(
+            # class base image (solid color or structured array) + small
+            # deterministic noise so every image is unique but trivially
+            # classifiable
+            base_img = (
                 np.asarray(base, np.int16)[None, None, :]
-                + rng.integers(-12, 13, size=(28, 28, 3), dtype=np.int16),
+                if not isinstance(base, np.ndarray)
+                else base.astype(np.int16)
+            )
+            pix = np.clip(
+                base_img + rng.integers(-12, 13, size=(28, 28, 3), dtype=np.int16),
                 0, 255,
             ).astype(np.uint8)
             Image.fromarray(pix).save(os.path.join(img_dir, fname))
@@ -124,7 +183,7 @@ def write_learnable_vqa(
                 "image_id": i,
                 "id": qid,
                 "question_id": qid,
-                "question": LEARNABLE_QUESTION,
+                "question": _task_question(task, answer, distinct_questions),
                 "img_fname": fname,
                 "multiple_choice_answer": answer,
                 "answers": [
