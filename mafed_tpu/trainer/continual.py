@@ -288,6 +288,9 @@ class ContinualLearningTrainer:
         )
         self._prime_vision_cache(params, [l.dataset for l in self.val_loaders.values()])
         strategy = CLMethod[cfg.cl_method](cfg, self.model_cfg)
+        # retained for post-run introspection (tests assert on strategy state,
+        # e.g. the adaptive modality coefficients after a finished sequence)
+        self.strategy = strategy
         # layout policy BEFORE any task transition: skipped-task transitions
         # on a restart build strategy memory iterators before the first
         # setup_task_optimizer runs, and those iterators must already use
