@@ -130,7 +130,11 @@ def test_supervisor_completes_repeatedly_preempted_run(tmp_path):
             *_train_cmd(cfg_path, model_cfg_path, out_sup),
         ],
         env=_env(preempt_after=2), cwd=REPO,
-        capture_output=True, text=True, timeout=1200,
+        # the supervised run re-JITs every trainer relaunch; ~860 s on an
+        # idle 8-core host, so 1200 flakes whenever the machine is loaded
+        # (e.g. the rest of the slow tier running alongside) — give it the
+        # same 2x headroom the other subprocess drills get
+        capture_output=True, text=True, timeout=2400,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     relaunches = proc.stderr.count("relaunching with --resume_from_checkpoint")
