@@ -67,6 +67,11 @@ def compute_trainable_params(params) -> int:
 
 
 def train(argv=None):
+    from mafed_tpu.core.cache import enable_compilation_cache
+
+    # persistent XLA cache + JAX_PLATFORMS env honored over site-pinned
+    # config (same contract as the CL CLI, mafed_tpu/train.py)
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     for dc in (ModelArguments, DataArguments, PretrainConfig):
         for f in dataclasses.fields(dc):
