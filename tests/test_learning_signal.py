@@ -1,10 +1,19 @@
-"""Learning-signal + CL-method-separation evidence (VERDICT r3 #1).
+"""Learning-signal + CL-method-separation evidence.
 
-Every other e2e test asserts shapes/finiteness; this one asserts the
-framework actually LEARNS and that the CL methods DIFFER in the direction
-they exist for — the operational correctness the reference validates with
-real VQA accuracy curves (mafed/train.py:43-70, wandb), reproduced here on
-a deterministic, learnable synthetic pair (tests/helpers.write_learnable_vqa):
+Every other e2e test asserts shapes/finiteness; this module asserts the
+framework actually BEHAVES — the operational correctness the reference
+validates with real VQA accuracy curves (mafed/train.py:43-70, wandb),
+reproduced on deterministic, learnable synthetic fixtures
+(tests/helpers.write_learnable_vqa). Coverage, in file order: the 2-task
+learn/forget/retain core (naive vs replay vs featdistill), EWC's Fisher
+penalty beating naive without memory, pure distillation pinning the
+tapped representations (with the readout negative documented), adaptive
+modality weights ordering by the informative modality, and the 5-task
+reference-protocol sequence (method ordering, plus the adaptive
+running-average chain). Measured matrices and sweeps for every margin:
+docs/ARCHITECTURE.md "Learning-signal evidence".
+
+The core 2-task pair:
 
   * task "hue": 4 solid-color classes, answer = the color word
   * task "light": bright/dark images, answer = the luminance word
